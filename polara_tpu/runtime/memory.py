@@ -1,0 +1,63 @@
+"""HBM-aware static chunk planning.
+
+Counterpart of the reference's free-RAM-driven chunker
+(``polara/recommender/utils.py:7-53``): the reference solves for the largest
+test-user chunk whose dense score matrix fits in free host memory at call
+time.  Under XLA shapes must be static, so we plan the chunk grid ahead
+of time against a fixed HBM budget and round chunk sizes to hardware-friendly
+multiples (8 sublanes for f32).
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from polara_tpu.config import get_default
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def range_division(total: int, chunk: int) -> List[int]:
+    """Split points covering ``[0, total]`` in steps of ``chunk``."""
+    bounds = list(range(0, total, chunk)) + [total]
+    if bounds[-2] == bounds[-1]:
+        bounds.pop()
+    return bounds
+
+
+def plan_user_chunks(n_users: int, n_items: int,
+                     scores_multiplier: int = 1,
+                     itemsize: int = 4,
+                     budget_gb: float | None = None,
+                     max_chunk: int | None = None) -> List[Tuple[int, int]]:
+    """Plan (start, stop) user slices whose dense score block fits the budget.
+
+    ``scores_multiplier`` inflates the estimate for models whose intermediate
+    scores carry an extra axis (the tensor model's feedback mode — reference
+    ``models.py:214-221``).
+    """
+    budget = (budget_gb if budget_gb is not None
+              else get_default("hbm_score_budget_gb")) * (1024 ** 3)
+    row_bytes = n_items * scores_multiplier * itemsize
+    chunk = int(budget // max(row_bytes, 1))
+    if chunk <= 0:
+        raise MemoryError(
+            f"A single score row ({row_bytes} bytes) exceeds the HBM budget; "
+            "raise hbm_score_budget_gb.")
+    chunk = min(chunk, n_users)
+    if max_chunk is not None:
+        chunk = min(chunk, max_chunk)
+    chunk = max(_SUBLANE, round_up(chunk, _SUBLANE) if chunk >= _SUBLANE else chunk)
+    bounds = range_division(n_users, chunk)
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def pad_dim(n: int, lane_align: bool = True) -> int:
+    """Pad a trailing dimension to the 128-lane grid (TPU tiling)."""
+    return round_up(max(n, 1), _LANE if lane_align else _SUBLANE)

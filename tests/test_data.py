@@ -1,0 +1,202 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from polara_tpu.data import RecommenderData, EventNotifier, Scenario
+
+
+def make_data(df, **kwargs):
+    kwargs.setdefault("verbose", False)
+    return RecommenderData(df, "userid", "movieid", "rating", **kwargs)
+
+
+def test_duplicates_rejected(tiny_timeline):
+    dup = pd.concat([tiny_timeline, tiny_timeline.iloc[[0]]],
+                    ignore_index=True)
+    with pytest.raises(ValueError):
+        make_data(dup)
+
+
+def test_default_split_is_warm_start(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    training = data.training
+    assert data._state == Scenario.WARM_START
+    # train and test users must be disjoint in the ORIGINAL id space
+    test_users_old = set()
+    user_test_index = data.index.userid.test
+    if user_test_index is not None:
+        test_users_old = set(user_test_index["old"])
+    train_users_old = set(data.index.userid.training["old"])
+    assert not (test_users_old & train_users_old)
+    # contiguous internal ids
+    assert training["userid"].max() + 1 == training["userid"].nunique()
+    assert training["movieid"].max() + 1 == training["movieid"].nunique()
+
+
+def test_known_users_scenario(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    data.warm_start = False
+    training = data.training
+    assert data._state == Scenario.KNOWN_USERS
+    holdout = data.test.holdout
+    # holdout users are part of the training user index
+    assert holdout["userid"].isin(
+        data.index.userid.training["new"]).all()
+    # holdout rows are excluded from training
+    merged = training.merge(holdout, on=["userid", "movieid"], how="inner")
+    assert merged.empty
+
+
+def test_holdout_is_top_rated(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    data.warm_start = False
+    data.holdout_size = 1
+    data.update()
+    holdout = data.test.holdout
+    assert (holdout.groupby("userid").size() == 1).all()
+    # each holdout item carries the user's max rating among eligible rows
+    df = data._data
+    for _, row in holdout.iterrows():
+        old_user = data.index.userid.training.set_index("new").loc[
+            row["userid"], "old"]
+        user_rows = df[df["userid"] == old_user]
+        assert row["rating"] == user_rows["rating"].max()
+
+
+def test_holdout_size_filters_short_sessions(tiny_timeline):
+    data = make_data(tiny_timeline, seed=0)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 2
+    data.update()
+    holdout = data.test.holdout
+    # user 2 has a single interaction -> cannot produce a 2-item holdout
+    assert (holdout.groupby("userid").size() == 2).all()
+
+
+def test_random_holdout_seeded(synthetic_interactions):
+    data1 = make_data(synthetic_interactions, seed=99)
+    data1.random_holdout = True
+    data2 = make_data(synthetic_interactions, seed=99)
+    data2.random_holdout = True
+    pd.testing.assert_frame_equal(data1.test.holdout, data2.test.holdout)
+
+
+def test_change_fold_changes_test_users(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    users_fold5 = set(data.test.holdout["userid"].unique())
+    old_fold5 = set(data.index.userid.test["old"])
+    data.test_fold = 1
+    data.update()
+    old_fold1 = set(data.index.userid.test["old"])
+    assert old_fold1 and old_fold1 != old_fold5
+
+
+def test_on_change_and_on_update_events(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    data.update()
+
+    class Listener:
+        def __init__(self):
+            self.changes = 0
+            self.updates = 0
+
+        def on_change(self):
+            self.changes += 1
+
+        def on_update(self):
+            self.updates += 1
+
+    listener = Listener()
+    data.subscribe(data.on_change_event, listener.on_change)
+    data.subscribe(data.on_update_event, listener.on_update)
+
+    data.holdout_size = 5  # warm start: test-only update
+    data.update()
+    assert (listener.changes, listener.updates) == (0, 1)
+
+    data.test_fold = 2  # moves the fold: full update
+    data.update()
+    assert (listener.changes, listener.updates) == (1, 1)
+
+
+def test_to_coo_roundtrip(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    data.warm_start = False
+    idx, val, shp = data.to_coo()
+    assert idx.shape[1] == 2
+    assert val.shape[0] == idx.shape[0] == data.training.shape[0]
+    assert shp[0] == data.training["userid"].nunique()
+    assert shp[1] == data.training["movieid"].nunique()
+
+
+def test_to_coo_tensor_mode(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    data.warm_start = False
+    idx, val, shp = data.to_coo(tensor_mode=True)
+    assert idx.shape[1] == 3
+    assert len(shp) == 3
+    assert shp[2] == data.index.feedback.shape[0]
+    assert (val == 1).all()
+    # feedback codes sorted by rating value
+    fb = data.index.feedback
+    assert fb.sort_values("old")["new"].is_monotonic_increasing
+
+
+def test_test_to_coo_sorted_users(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    users, items, feedback = data.test_to_coo()
+    assert (np.diff(users) >= 0).all()
+    n_users, n_items = data.get_test_shape()
+    assert users.max() + 1 <= n_users
+    assert items.max() < n_items
+
+
+def test_state3_testset_recovery(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    data.warm_start = False
+    data.update()
+    users, items, feedback = data.test_to_coo()
+    holdout_users = data.test.holdout["userid"].unique()
+    assert set(np.unique(users)) <= set(
+        data.index.userid.training["new"])
+
+
+def test_set_test_data_holdout_only(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    data.warm_start = False
+    data.update()
+    # craft an external holdout in ORIGINAL id space
+    df = synthetic_interactions
+    external = df.groupby("userid").tail(1).copy()
+    data.set_test_data(holdout=external, warm_start=False)
+    holdout = data.test.holdout
+    # items must be remapped to internal ids
+    assert holdout["movieid"].max() < data.index.itemid.shape[0]
+
+
+def test_prepare_training_only(synthetic_interactions):
+    data = make_data(synthetic_interactions, seed=0)
+    data.prepare_training_only()
+    assert data._state == Scenario.TRAIN_ONLY
+    assert data.test.holdout is None
+    assert data.test.testset is None
+    assert data.training.shape[0] == synthetic_interactions.shape[0]
+
+
+def test_event_notifier_weakref():
+    notifier = EventNotifier(["ping"])
+
+    class Listener:
+        hits = 0
+
+        def cb(self):
+            Listener.hits += 1
+
+    keep = Listener()
+    gone = Listener()
+    notifier.subscribe("ping", keep.cb)
+    notifier.subscribe("ping", gone.cb)
+    del gone
+    notifier.notify("ping")
+    assert Listener.hits == 1
