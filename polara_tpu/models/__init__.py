@@ -1,0 +1,8 @@
+from polara_tpu.models.base import RecommenderModel, EmbeddingsMixin
+from polara_tpu.models.baselines import (PopularityModel, RandomModel,
+                                         CooccurrenceModel)
+from polara_tpu.models.svd import SVDModel, ScaledSVD, ScaledMatrixMixin
+
+__all__ = ["RecommenderModel", "EmbeddingsMixin", "PopularityModel",
+           "RandomModel", "CooccurrenceModel", "SVDModel", "ScaledSVD",
+           "ScaledMatrixMixin"]

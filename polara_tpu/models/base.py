@@ -1,0 +1,402 @@
+"""Recommender model base class.
+
+Structural counterpart of the reference ``RecommenderModel``
+(``polara/recommender/models.py:70-604``) with the compute path rebuilt for
+TPU:
+
+* subclasses implement ``build()`` (device factor computation) and a *pure*
+  ``score_chunk(params, chunk)`` staticmethod returning a dense
+  (chunk_users × n_items) score block;
+* the base class owns the chunked score→downvote→top-k driver
+  (:mod:`polara_tpu.ops.scoring`) — the compiled step is shared across
+  rebuilds because factors travel as arguments, not closure constants;
+* ``evaluate()`` reduces recommendations against the holdout with the dense
+  metric engine (:mod:`polara_tpu.evaluation.metrics`).
+
+Build-cache invalidation: instead of the reference's metaclass-wrapped
+``build`` (``models.py:34-67``), ``__init_subclass__`` wraps any subclass
+``build`` to flush cached recommendations first.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from polara_tpu import config as defaults
+from polara_tpu.evaluation import metrics as metrics_mod
+from polara_tpu.evaluation.metrics import (Experience, Hits, Ranking,
+                                           Relevance, SimpleRanking,
+                                           SimpleRelevance, compute_metrics,
+                                           get_experience_scores)
+from polara_tpu.ops.scoring import (ChunkedTestData, TestChunk, run_scoring,
+                                    compiled_step)
+from polara_tpu.ops.sparse import CooMatrix, coo_from_arrays, dense_from_coo
+from polara_tpu.ops.topk import PAD_CONST
+
+
+def _flush_before_build(build_func):
+    @functools.wraps(build_func)
+    def wrapper(self, *args, **kwargs):
+        self._is_ready = False
+        self._recommendations = None
+        self._test_plan = None
+        result = build_func(self, *args, **kwargs)
+        self._is_ready = True
+        return result
+    return wrapper
+
+
+class RecommenderModel:
+    _config = ("topk", "filter_seen", "switch_positive",
+               "feedback_threshold", "verify_integrity")
+    _pad_const = PAD_CONST
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if "build" in cls.__dict__:
+            cls.build = _flush_before_build(cls.__dict__["build"])
+
+    def __init__(self, recommender_data, feedback_threshold=None):
+        self.data = recommender_data
+        self._recommendations: Optional[np.ndarray] = None
+        self._test_plan: Optional[ChunkedTestData] = None
+        self.method = "ABC"
+
+        self._topk = defaults.get_default("topk")
+        self._filter_seen = defaults.get_default("filter_seen")
+        self._feedback_threshold = (feedback_threshold
+                                    or defaults.get_default(
+                                        "feedback_threshold"))
+        self.switch_positive = defaults.get_default("switch_positive")
+        self.verify_integrity = defaults.get_default("verify_integrity")
+        self.compute_dtype = jnp.dtype(defaults.get_default("compute_dtype"))
+
+        self._prediction_key = self.data.fields.userid
+        self._prediction_target = self.data.fields.itemid
+
+        self._is_ready = False
+        self.verbose = True
+        self.training_time: list = []
+
+        self.data.subscribe(self.data.on_change_event, self._renew_model)
+        self.data.subscribe(self.data.on_update_event, self._refresh_model)
+
+    # --- cache lifecycle ----------------------------------------------------
+
+    @property
+    def recommendations(self) -> np.ndarray:
+        if self._recommendations is None:
+            if not self._is_ready:
+                if self.verbose:
+                    print(f"{self.method} model is not ready. Rebuilding.")
+                self.build()
+            self._recommendations = self.get_recommendations()
+        return self._recommendations
+
+    def _renew_model(self):
+        self._recommendations = None
+        self._test_plan = None
+        self._is_ready = False
+
+    def _refresh_model(self):
+        self._recommendations = None
+        self._test_plan = None
+
+    @property
+    def topk(self) -> int:
+        return self._topk
+
+    @topk.setter
+    def topk(self, new_value: int):
+        if (self._recommendations is not None
+                and new_value > self._recommendations.shape[1]):
+            self._recommendations = None  # too short — must recompute
+        self._topk = new_value
+
+    @property
+    def feedback_threshold(self):
+        return self._feedback_threshold
+
+    @feedback_threshold.setter
+    def feedback_threshold(self, new_value):
+        if self._feedback_threshold != new_value:
+            self._feedback_threshold = new_value
+            self._renew_model()
+
+    @property
+    def filter_seen(self) -> bool:
+        return self._filter_seen
+
+    @filter_seen.setter
+    def filter_seen(self, new_value: bool):
+        if self._filter_seen != new_value:
+            self._filter_seen = new_value
+            self._refresh_model()
+
+    def get_base_configuration(self) -> Dict[str, Any]:
+        return {attr: getattr(self, attr) for attr in self._config}
+
+    # --- training-data access -----------------------------------------------
+
+    def build(self):
+        raise NotImplementedError("implemented by concrete models")
+
+    def get_training_matrix(self, feedback_threshold=None,
+                            ignore_feedback: bool = False,
+                            dense: bool = False,
+                            dtype=None) -> CooMatrix | jax.Array:
+        """Training interactions as a device COO matrix (or dense block)."""
+        threshold = feedback_threshold or self.feedback_threshold
+        idx, val, shp = self.data.to_coo(tensor_mode=False,
+                                         feedback_threshold=threshold)
+        dtype = dtype or self.compute_dtype
+        if ignore_feedback:
+            val = np.ones_like(val)
+        if dense:
+            return dense_from_coo(idx, val, shp, dtype=dtype)
+        return coo_from_arrays(idx, val, shp, dtype=dtype)
+
+    # --- test-data plumbing --------------------------------------------------
+
+    @property
+    def scores_multiplier(self) -> int:
+        """Relative memory footprint of intermediate scores (tensor models
+        override — reference ``models.py:214-221``)."""
+        return 1
+
+    def _get_test_data(self, feedback_threshold=None):
+        tensor_mode = getattr(self, "is_tensor_model", False)
+        test_shape = self.data.get_test_shape(tensor_mode=tensor_mode)
+        threshold = feedback_threshold or self.feedback_threshold
+        if self.data.warm_start:
+            if threshold and self.verbose:
+                print("Specifying threshold has no effect in warm start.")
+            threshold = None
+        user_idx, item_idx, feedback = self.data.test_to_coo(
+            tensor_mode=tensor_mode, feedback_threshold=threshold)
+
+        diffs = np.diff(user_idx)
+        if (diffs < 0).any():
+            raise AssertionError("test data must be sorted by user")
+        # rebase to contiguous rows aligned with the recommendations matrix
+        if (diffs > 1).any() or (len(user_idx) and user_idx.min() != 0):
+            test_users = user_idx[np.r_[0, np.where(diffs)[0] + 1]]
+            user_rows = np.r_[0, np.cumsum(diffs > 0)].astype(user_idx.dtype)
+        else:
+            test_users = np.arange(test_shape[0])
+            user_rows = user_idx
+        return (user_rows, item_idx, feedback), test_shape, test_users
+
+    def _build_test_plan(self) -> Tuple[ChunkedTestData, np.ndarray]:
+        (user_rows, item_idx, feedback), test_shape, test_users = \
+            self._get_test_data()
+        plan = ChunkedTestData.build(
+            user_rows, item_idx,
+            np.asarray(feedback, dtype=np.float64),
+            n_users=test_shape[0], n_items=test_shape[1],
+            scores_multiplier=self.scores_multiplier)
+        return plan, test_users
+
+    # --- scoring -------------------------------------------------------------
+
+    @staticmethod
+    def score_chunk(params: dict, chunk: TestChunk) -> jax.Array:
+        raise NotImplementedError("implemented by concrete models")
+
+    def score_params(self) -> dict:
+        """Pytree of device arrays consumed by ``score_chunk``."""
+        raise NotImplementedError("implemented by concrete models")
+
+    def get_recommendations(self) -> np.ndarray:
+        if self.verify_integrity:
+            self.verify_data_integrity()
+        plan, test_users = self._build_test_plan()
+        self._test_plan = plan
+        params = dict(self.score_params())
+        params["test_users"] = jnp.asarray(test_users, jnp.int32)
+        return run_scoring(plan, type(self).score_chunk, params,
+                           topk=self.topk, filter_seen=self.filter_seen,
+                           n_valid_cols=plan.n_items)
+
+    # --- single-user convenience ---------------------------------------------
+
+    def _user_scores(self, i: int):
+        if not self._is_ready:
+            if self.verbose:
+                print(f"{self.method} model is not ready. Rebuilding.")
+            self.build()
+        (user_rows, item_idx, feedback), test_shape, test_users = \
+            self._get_test_data()
+        if not self.data.warm_start:
+            matches = np.where(test_users == i)[0]
+            if len(matches) != 1:
+                raise KeyError(f"user {i} is not among test users")
+            i = int(matches[0])
+        sel = user_rows == i
+        plan = ChunkedTestData.build(
+            np.zeros(int(sel.sum()), dtype=np.int64), item_idx[sel],
+            np.asarray(feedback, dtype=np.float64)[sel],
+            n_users=1, n_items=test_shape[1],
+            scores_multiplier=self.scores_multiplier)
+        params = dict(self.score_params())
+        params["test_users"] = jnp.asarray([i], jnp.int32)
+        chunk = plan.chunks[0]
+        scores = np.asarray(type(self).score_chunk(params, chunk))
+        seen = (np.zeros(int(sel.sum()), dtype=np.int64), item_idx[sel])
+        return scores, seen
+
+    def _make_user(self, user_info) -> pd.DataFrame:
+        userid, itemid, feedback = self.data.fields
+        if isinstance(user_info, dict):
+            items_data, feedback_data = zip(*user_info.items())
+            feedback_frame = {feedback: list(feedback_data)}
+        elif isinstance(user_info, (list, tuple, set, np.ndarray)):
+            items_data = list(user_info)
+            feedback_frame = {}
+            if feedback is not None:
+                top_value = self.data.training[feedback].max()
+                feedback_frame = {feedback: [top_value] * len(items_data)}
+        else:
+            raise ValueError("Unrecognized input for user_info")
+        item_index = self.data.get_entity_index(itemid)
+        internal = item_index.set_index("old").loc[list(items_data),
+                                                   "new"].values
+        frame = {userid: [0] * len(internal), itemid: internal}
+        frame.update(feedback_frame)
+        return pd.DataFrame(frame)
+
+    def show_recommendations(self, user_info, topk: Optional[int] = None):
+        from polara_tpu.data.dataset import TestData
+        if isinstance(user_info, (int, np.integer)):
+            scores, seen = self._user_scores(int(user_info))
+        else:
+            saved = self.data._test
+            try:
+                self.data._test = TestData(self._make_user(user_info), None)
+                scores, seen = self._user_scores(0)
+            finally:
+                self.data._test = saved
+        k = topk if topk is not None else self.topk
+        order = np.argsort(-scores[0])[:k]
+        item_index = self.data.get_entity_index(self.data.fields.itemid)
+        back = item_index.set_index("new")
+        top_recs = back.loc[order, "old"].values
+        seen_items = back.loc[seen[1], "old"].values
+        return top_recs, seen_items
+
+    # --- evaluation -----------------------------------------------------------
+
+    def evaluate(self, metric_type="all", topk: Optional[int] = None,
+                 not_rated_penalty: Optional[float] = None,
+                 switch_positive: Optional[float] = None,
+                 ignore_feedback: bool = False,
+                 simple_rates: bool = False):
+        """Compute metric families over the holdout
+        (reference ``models.py:408-485``)."""
+        if metric_type == "all":
+            metric_type = ["hits", "relevance", "ranking", "experience"]
+        elif metric_type == "main":
+            metric_type = ["relevance", "ranking"]
+        if not isinstance(metric_type, (list, tuple)):
+            metric_type = [metric_type]
+
+        if int(topk or 0) > self.topk:
+            self.topk = topk  # flushes stale recommendations
+        recommendations = self.recommendations[:, :topk]
+
+        switch_positive = switch_positive or self.switch_positive
+        feedback = self.data.fields.feedback
+        holdout = self.data.test.holdout
+        if switch_positive is None or feedback is None:
+            # implicit-feedback regime: every unrated recommendation is an
+            # honest false positive
+            not_rated_penalty = (1 if not_rated_penalty is None
+                                 else not_rated_penalty)
+            is_positive = None
+        else:
+            not_rated_penalty = not_rated_penalty or 0
+            is_positive = (holdout[feedback] >= switch_positive).values
+
+        feedback_col = None if ignore_feedback else feedback
+        stats = compute_metrics(
+            recommendations, holdout,
+            key=self._prediction_key, target=self._prediction_target,
+            feedback=feedback_col, is_positive=is_positive,
+            switch_positive=switch_positive,
+            not_rated_penalty=not_rated_penalty,
+            topk=recommendations.shape[1],
+            alternative=defaults.get_default("ndcg_alternative"))
+
+        simple = (self.data.holdout_size == 1) or simple_rates
+        has_split = is_positive is not None
+        scores = []
+        if "relevance" in metric_type:
+            if simple:
+                scores.append(SimpleRelevance(hr=stats["hr"]))
+            else:
+                scores.append(Relevance(
+                    precision=stats["precision"], recall=stats["recall"],
+                    fallout=stats["fallout"] if has_split else None,
+                    specifity=stats["specifity"] if has_split else None,
+                    miss_rate=stats["miss_rate"]))
+        if "ranking" in metric_type:
+            if simple:
+                scores.append(SimpleRanking(arhr=stats["arhr"],
+                                            mrr=stats["mrr"]))
+            else:
+                scores.append(Ranking(
+                    ndcg=stats["ndcg"],
+                    ndcl=stats["ndcl"] if has_split else None,
+                    map=stats["map"], arhr=stats["arhr"]))
+        if "experience" in metric_type:
+            fields = self.data.fields
+            entity = fields._fields[fields.index(self._prediction_target)] \
+                if self._prediction_target in fields else "itemid"
+            entity_index = getattr(self.data.index, entity)
+            entity_index = getattr(entity_index, "training", entity_index)
+            scores.append(get_experience_scores(recommendations,
+                                                entity_index.shape[0]))
+        if "hits" in metric_type:
+            scores.append(Hits(
+                true_positive=stats["tp"], false_positive=stats["fp"],
+                true_negative=stats["tn"] if has_split else None,
+                false_negative=stats["fn"]))
+        if not scores:
+            raise ValueError(f"Unknown metric types: {metric_type}")
+        return scores[0] if len(scores) == 1 else scores
+
+    # --- invariants -----------------------------------------------------------
+
+    def verify_data_integrity(self):
+        """Index/factor consistency asserts (reference ``models.py:581``)."""
+        data = self.data
+        userid, itemid, feedback = data.fields
+        item_index = getattr(data.index.itemid, "training", data.index.itemid)
+        nunique_items = data.training[itemid].nunique()
+        assert nunique_items == item_index.shape[0]
+        assert nunique_items == data.training[itemid].max() + 1
+
+        factors = getattr(self, "factors", None)
+        if factors:
+            item_factors = factors.get(itemid)
+            if item_factors is not None:
+                assert item_factors.shape[0] == item_index.shape[0]
+            feedback_factors = factors.get(feedback)
+            if feedback_factors is not None:
+                assert (feedback_factors.shape[0]
+                        == data.index.feedback.shape[0])
+
+
+class EmbeddingsMixin:
+    @property
+    def user_embeddings(self):
+        return self.factors[self.data.fields.userid]
+
+    @property
+    def item_embeddings(self):
+        return self.factors[self.data.fields.itemid]

@@ -1,0 +1,168 @@
+"""Chunked test-user scoring driver.
+
+Replaces the reference's thread-pool-over-user-slices machinery
+(``polara/recommender/models.py:359-405``): instead of Python threads
+filling a shared numpy buffer, test users are cut into statically shaped
+chunks; each chunk runs one jitted score→downvote→top-k pass on device, and
+chunks stream sequentially (a single chunk in the common case).  Chunk
+geometry is uniform so every chunk reuses one compiled executable.
+
+Multi-device: the user axis is embarrassingly parallel, so sharding the
+chunk rows over the mesh ``users`` axis (see ``polara_tpu.parallel``) scales
+scoring without collectives.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from polara_tpu.ops.topk import mask_and_topk
+from polara_tpu.runtime.memory import plan_user_chunks
+
+
+class TestChunk(NamedTuple):
+    """Statically shaped slice of the test data handed to a model scorer.
+
+    ``rows`` are chunk-relative user rows; ``users`` are absolute test-user
+    row ids (into the rebased 0..n_test-1 space); invalid entries are
+    masked.  Models that fold in user profiles use (rows, cols, vals);
+    factor-lookup models use ``users``.
+    """
+    start: jax.Array        # scalar int32: first absolute user row
+    users: jax.Array        # (chunk_users,) absolute user row ids
+    user_valid: jax.Array   # (chunk_users,) bool
+    rows: jax.Array         # (width,) chunk-relative user rows of events
+    cols: jax.Array         # (width,) item ids of events
+    vals: jax.Array         # (width,) feedback values
+    valid: jax.Array        # (width,) bool
+
+
+@dataclasses.dataclass
+class ChunkedTestData:
+    """Host-side plan: the sorted test COO cut into uniform chunks."""
+    chunks: List[TestChunk]
+    chunk_users: int
+    n_users: int
+    n_items: int
+
+    @classmethod
+    def build(cls, user_rows: np.ndarray, item_cols: np.ndarray,
+              values: np.ndarray, n_users: int, n_items: int,
+              chunk_users: Optional[int] = None,
+              scores_multiplier: int = 1,
+              budget_gb: Optional[float] = None) -> "ChunkedTestData":
+        """``user_rows`` must be sorted ascending (data model guarantees).
+
+        ``user_rows`` are *rebased* test rows 0..n_users-1 — the caller maps
+        raw test user ids through the test-user list first (reference does
+        the same rebasing in ``models.py:249-253``).
+        """
+        if chunk_users is None:
+            bounds = plan_user_chunks(n_users, n_items,
+                                      scores_multiplier=scores_multiplier,
+                                      budget_gb=budget_gb)
+            chunk_users = bounds[0][1] - bounds[0][0]
+        n_chunks = -(-n_users // chunk_users)
+
+        # uniform event-buffer width across chunks -> one compiled shape
+        split_pts = [np.searchsorted(user_rows, c * chunk_users)
+                     for c in range(n_chunks + 1)]
+        width = max(1, max(split_pts[c + 1] - split_pts[c]
+                           for c in range(n_chunks)))
+
+        chunks = []
+        for c in range(n_chunks):
+            lo, hi = split_pts[c], split_pts[c + 1]
+            start = c * chunk_users
+            stop = min(start + chunk_users, n_users)
+            n_ev = hi - lo
+            rows = np.zeros(width, dtype=np.int32)
+            cols = np.zeros(width, dtype=np.int32)
+            vals = np.zeros(width, dtype=np.float32)
+            valid = np.zeros(width, dtype=bool)
+            rows[:n_ev] = user_rows[lo:hi] - start
+            cols[:n_ev] = item_cols[lo:hi]
+            vals[:n_ev] = values[lo:hi]
+            valid[:n_ev] = True
+
+            users = np.minimum(start + np.arange(chunk_users), n_users - 1)
+            user_valid = (start + np.arange(chunk_users)) < stop
+            chunks.append(TestChunk(
+                start=jnp.int32(start),
+                users=jnp.asarray(users, jnp.int32),
+                user_valid=jnp.asarray(user_valid),
+                rows=jnp.asarray(rows),
+                cols=jnp.asarray(cols),
+                vals=jnp.asarray(vals),
+                valid=jnp.asarray(valid)))
+        return cls(chunks=chunks, chunk_users=chunk_users,
+                   n_users=n_users, n_items=n_items)
+
+    def profile_matrix(self, chunk: TestChunk,
+                       n_items: Optional[int] = None,
+                       binary: bool = False,
+                       dtype=jnp.float32) -> jax.Array:
+        """Dense (chunk_users × n_items) interaction profile of a chunk."""
+        n_items = n_items or self.n_items
+        out = jnp.zeros((self.chunk_users, n_items), dtype=dtype)
+        vals = jnp.where(chunk.valid,
+                         jnp.sign(chunk.vals) if binary else chunk.vals,
+                         0.0).astype(dtype)
+        return out.at[chunk.rows, chunk.cols].add(vals)
+
+
+# A scorer is a pure function (params, chunk) -> (chunk_users, n_items)
+# scores.  Params travel as explicit pytree arguments so the compiled step
+# is reused across model rebuilds (factors change value, not shape).
+ScoreFn = Callable[[dict, TestChunk], jax.Array]
+
+_step_cache: dict = {}
+
+
+def compiled_step(score_fn: ScoreFn, topk: int, filter_seen: bool,
+                  n_valid_cols: Optional[int]):
+    key = (score_fn, topk, filter_seen, n_valid_cols)
+    step = _step_cache.get(key)
+    if step is None:
+        @jax.jit
+        def step(params, chunk: TestChunk) -> jax.Array:
+            scores = score_fn(params, chunk)
+            return mask_and_topk(scores, chunk.rows, chunk.cols,
+                                 chunk.valid, topk,
+                                 filter_seen=filter_seen,
+                                 n_valid_cols=n_valid_cols)
+        _step_cache[key] = step
+    return step
+
+
+def run_scoring(data: ChunkedTestData, score_fn: ScoreFn, params: dict,
+                topk: int, filter_seen: bool = True,
+                n_valid_cols: Optional[int] = None) -> np.ndarray:
+    """Score every chunk, mask seen items, take top-k; returns host int32
+    array of shape (n_users, topk)."""
+    step = compiled_step(score_fn, topk, filter_seen, n_valid_cols)
+    parts = []
+    for c, chunk in enumerate(data.chunks):
+        recs = step(params, chunk)
+        start = c * data.chunk_users
+        stop = min(start + data.chunk_users, data.n_users)
+        parts.append(np.asarray(recs)[: stop - start])
+    return np.concatenate(parts, axis=0)
+
+
+def run_scores_only(data: ChunkedTestData, score_fn: ScoreFn,
+                    params: dict) -> np.ndarray:
+    """Raw dense scores for all test users (no masking/top-k) — used by
+    single-user inspection paths."""
+    fn = jax.jit(score_fn)
+    parts = []
+    for c, chunk in enumerate(data.chunks):
+        scores = fn(params, chunk)
+        start = c * data.chunk_users
+        stop = min(start + data.chunk_users, data.n_users)
+        parts.append(np.asarray(scores)[: stop - start])
+    return np.concatenate(parts, axis=0)

@@ -2,10 +2,21 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware.  Must be set before jax import.
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8 "
-                      + os.environ.get("XLA_FLAGS", ""))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the harness environment pins JAX_PLATFORMS to the real
+# TPU tunnel, which tests must not touch — and sitecustomize imports jax at
+# interpreter startup, so env vars alone are too late.  Update the live jax
+# config instead (backends are not instantiated until first use).
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8 "
+                           + os.environ.get("XLA_FLAGS", ""))
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "true"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# x64 brings CPU tests numerically close to the f64 reference; the library
+# stays dtype-explicit so the TPU f32 path is unaffected.
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pandas as pd

@@ -1,0 +1,166 @@
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.sparse.linalg import svds
+
+import jax.numpy as jnp
+
+from polara_tpu.ops.sparse import (CooMatrix, dense_operator,
+                                   inner_product_at, pad_rows)
+from polara_tpu.ops.rsvd import randomized_svd, principal_angles_max_sin
+from polara_tpu.ops.topk import mask_and_topk, top_k_indices, downvote_items
+
+
+def random_rating_matrix(m=120, n=80, density=0.2, seed=0):
+    rs = np.random.RandomState(seed)
+    mat = sp.random(m, n, density=density, random_state=rs,
+                    data_rvs=lambda k: rs.randint(1, 6, k).astype(float))
+    return mat.tocsr()
+
+
+class TestCooMatrix:
+    def test_dense_roundtrip(self):
+        csr = random_rating_matrix()
+        coo = csr.tocoo()
+        device = CooMatrix.from_numpy(coo.row, coo.col, coo.data, coo.shape,
+                                      dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(device.to_dense()),
+                                   csr.toarray())
+
+    def test_matmul_matches_scipy(self):
+        csr = random_rating_matrix()
+        coo = csr.tocoo()
+        device = CooMatrix.from_numpy(coo.row, coo.col, coo.data, coo.shape,
+                                      dtype=jnp.float64)
+        x = np.random.RandomState(1).randn(csr.shape[1], 7)
+        np.testing.assert_allclose(np.asarray(device.matmul(jnp.asarray(x))),
+                                   csr @ x, rtol=1e-10)
+        y = np.random.RandomState(2).randn(csr.shape[0], 5)
+        np.testing.assert_allclose(
+            np.asarray(device.rmatmul(jnp.asarray(y))), csr.T @ y,
+            rtol=1e-10)
+
+    def test_nnz_counts(self):
+        csr = random_rating_matrix()
+        coo = csr.tocoo()
+        device = CooMatrix.from_numpy(coo.row, coo.col, coo.data, coo.shape)
+        np.testing.assert_array_equal(np.asarray(device.row_nnz()),
+                                      csr.getnnz(axis=1))
+        np.testing.assert_array_equal(np.asarray(device.col_nnz()),
+                                      csr.getnnz(axis=0))
+
+
+class TestRandomizedSvd:
+    def test_matches_scipy_svds_subspace(self):
+        csr = random_rating_matrix(200, 150, density=0.3)
+        k = 12
+        u_ref, s_ref, vt_ref = svds(csr.astype(np.float64), k=k)
+        dense = jnp.asarray(csr.toarray(), dtype=jnp.float64)
+        res = randomized_svd(dense, k, tol=1e-12, max_iter=300, seed=3,
+                             dtype=jnp.float64)
+        # singular values to high precision
+        np.testing.assert_allclose(np.asarray(res.s), s_ref[::-1],
+                                   rtol=1e-9)
+        # subspace agreement to 1e-6 (BASELINE.json requirement)
+        assert principal_angles_max_sin(res.v,
+                                        jnp.asarray(vt_ref[::-1].T)) < 1e-6
+        assert principal_angles_max_sin(res.u,
+                                        jnp.asarray(u_ref[:, ::-1])) < 1e-6
+
+    def test_operator_path_matches_dense(self):
+        csr = random_rating_matrix(90, 60)
+        coo = csr.tocoo()
+        device = CooMatrix.from_numpy(coo.row, coo.col, coo.data, coo.shape,
+                                      dtype=jnp.float64)
+        res_coo = randomized_svd(device.operator(), 8, tol=1e-12,
+                                 max_iter=200, seed=0, dtype=jnp.float64)
+        res_dense = randomized_svd(jnp.asarray(csr.toarray()), 8,
+                                   tol=1e-12, max_iter=200, seed=0,
+                                   dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(res_coo.s),
+                                   np.asarray(res_dense.s), rtol=1e-10)
+
+    def test_descending_order(self):
+        dense = jnp.asarray(np.random.RandomState(0).randn(50, 40))
+        res = randomized_svd(dense, 10, n_iter=4)
+        s = np.asarray(res.s)
+        assert (np.diff(s) <= 1e-12).all()
+
+    def test_reconstruction_low_rank(self):
+        rs = np.random.RandomState(5)
+        a = rs.randn(60, 8) @ rs.randn(8, 40)  # exactly rank 8
+        res = randomized_svd(jnp.asarray(a), 8, n_iter=4, dtype=jnp.float64)
+        approx = np.asarray(res.u) * np.asarray(res.s) @ np.asarray(res.v).T
+        np.testing.assert_allclose(approx, a, atol=1e-8)
+
+
+class TestTopk:
+    def test_downvote_pushes_seen_below_min(self):
+        rs = np.random.RandomState(0)
+        scores = jnp.asarray(rs.randn(4, 10))
+        rows = jnp.asarray([0, 0, 2, 3], dtype=jnp.int32)
+        cols = jnp.asarray([1, 5, 9, 0], dtype=jnp.int32)
+        valid = jnp.asarray([True, True, True, False])
+        out = np.asarray(downvote_items(scores, rows, cols, valid))
+        base_min = np.asarray(scores).min()
+        assert out[0, 1] < base_min and out[0, 5] < base_min
+        assert out[2, 9] < base_min
+        assert out[3, 0] == np.asarray(scores)[3, 0]  # masked entry intact
+        # relative order among seen items preserved
+        s = np.asarray(scores)
+        assert (out[0, 1] < out[0, 5]) == (s[0, 1] < s[0, 5])
+
+    def test_padding_collision_is_noop(self):
+        scores = jnp.asarray(np.arange(12, dtype=float).reshape(3, 4))
+        rows = jnp.asarray([0, 0], dtype=jnp.int32)
+        cols = jnp.asarray([0, 0], dtype=jnp.int32)
+        valid = jnp.asarray([True, False])  # pad collides with real (0,0)
+        out = np.asarray(downvote_items(scores, rows, cols, valid))
+        assert out[0, 0] < 0  # still downvoted by the valid entry
+
+    def test_topk_matches_numpy(self):
+        rs = np.random.RandomState(1)
+        scores = rs.randn(6, 30)
+        idx = np.asarray(top_k_indices(jnp.asarray(scores), 5))
+        expect = np.argsort(-scores, axis=1)[:, :5]
+        np.testing.assert_array_equal(idx, expect)
+
+    def test_topk_pads_beyond_catalog(self):
+        scores = jnp.asarray(np.random.randn(2, 3))
+        idx = np.asarray(top_k_indices(scores, 5))
+        assert idx.shape == (2, 5)
+        assert (idx[:, 3:] == -1).all()
+
+    def test_mask_and_topk_excludes_seen(self):
+        rs = np.random.RandomState(2)
+        scores = jnp.asarray(rs.randn(3, 20))
+        rows = jnp.asarray([0, 1, 1], dtype=jnp.int32)
+        cols = jnp.asarray([4, 2, 7], dtype=jnp.int32)
+        valid = jnp.asarray([True, True, True])
+        recs = np.asarray(mask_and_topk(scores, rows, cols, valid, 10))
+        assert 4 not in recs[0]
+        assert 2 not in recs[1] and 7 not in recs[1]
+
+
+class TestPaddedRows:
+    def test_pack(self):
+        rows = np.array([0, 0, 2, 2, 2])
+        cols = np.array([5, 3, 1, 2, 4])
+        vals = np.array([1., 2., 3., 4., 5.])
+        packed = pad_rows(rows, cols, vals, n_rows=4)
+        assert packed.shape == (4, 3)
+        np.testing.assert_array_equal(packed.indices[0, :2], [5, 3])
+        np.testing.assert_array_equal(packed.mask.sum(axis=1), [2, 0, 3, 0])
+        np.testing.assert_array_equal(packed.values[2], [3., 4., 5.])
+
+
+def test_inner_product_at():
+    rs = np.random.RandomState(0)
+    u = rs.randn(10, 4)
+    v = rs.randn(8, 4)
+    ui = rs.randint(0, 10, (3, 5))
+    vi = rs.randint(0, 8, (3, 5))
+    got = np.asarray(inner_product_at(jnp.asarray(u), jnp.asarray(v),
+                                      jnp.asarray(ui), jnp.asarray(vi)))
+    expect = np.einsum("btk,btk->bt", u[ui], v[vi])
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
