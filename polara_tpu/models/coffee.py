@@ -1,0 +1,154 @@
+"""CoFFee: polarity-aware third-order Tucker model.
+
+Reference: ``CoffeeModel`` (``polara/recommender/models.py:901-1092``) —
+HOOI factorization of the user x item x feedback-level tensor, scored by
+projecting each test profile through the item/feedback factors.
+
+Scoring reformulation: the reference builds a (users x r1 x r2) outer-
+product tensor per chunk and contracts it with the flattened feedback
+weights (``models.py:1042-1054``).  Because the flattener always reduces
+the feedback factor to a rank-r2 vector first, the contraction collapses
+per event to one scalar ``alpha = w[f] . wt`` — so scoring is exactly the
+SVD-shaped ``segment_sum(alpha * v[item]) @ v.T`` pipeline, with no rank^2
+intermediate at all.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from polara_tpu import config as defaults
+from polara_tpu.models.base import RecommenderModel
+from polara_tpu.ops.hooi import (hooi, round_core, flatten_feedback_weights)
+from polara_tpu.ops.scoring import TestChunk
+from polara_tpu.runtime.timing import track_time
+
+
+class CoffeeModel(RecommenderModel):
+    is_tensor_model = True
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._mlrank = defaults.get_default("mlrank")
+        self.factors: dict = {}
+        self.method = "CoFFee"
+        self._flattener = defaults.get_default("flattener")
+        self.growth_tol = defaults.get_default("growth_tol")
+        self.num_iters = defaults.get_default("num_iters")
+        self.show_output = defaults.get_default("show_output")
+        self.seed: Optional[int] = None
+
+    @property
+    def mlrank(self):
+        return self._mlrank
+
+    @mlrank.setter
+    def mlrank(self, new_value):
+        if new_value != self._mlrank:
+            self._mlrank = new_value
+            self._check_reduced_rank(new_value)
+            self._recommendations = None
+
+    @property
+    def flattener(self):
+        return self._flattener
+
+    @flattener.setter
+    def flattener(self, new_value):
+        if new_value != self._flattener:
+            self._flattener = new_value
+            self._recommendations = None
+
+    def _check_reduced_rank(self, mlrank) -> None:
+        """Core-rounding rank reduction (reference ``models.py:949-980``):
+        lowering any mode's rank rotates cached factors through an SVD of
+        the unfolded core instead of re-running HOOI."""
+        core = self.factors.get("core")
+        for mode, entity in enumerate(self.data.fields):
+            factor = self.factors.get(entity)
+            if factor is None:
+                continue
+            rank = mlrank[mode]
+            if factor.shape[1] < rank:
+                self._is_ready = False
+                self.factors = {}
+                return
+            if factor.shape[1] == rank:
+                continue
+            self.factors = dict(**self.factors)
+            rotation, core = round_core(np.asarray(self.factors["core"]),
+                                        mode, rank)
+            self.factors[entity] = factor @ jnp.asarray(rotation,
+                                                        factor.dtype)
+            self.factors["core"] = jnp.asarray(core)
+
+    @property
+    def scores_multiplier(self) -> int:
+        feedback_factor = self.factors.get(self.data.fields.feedback)
+        return 1 if feedback_factor is None else 1  # rank-space scoring
+
+    def build(self):
+        idx, val, shp = self.data.to_coo(tensor_mode=True)
+        with track_time(self.training_time, verbose=self.verbose,
+                        model=self.method):
+            result = hooi(idx, val, shp, self.mlrank,
+                          num_iters=self.num_iters,
+                          growth_tol=self.growth_tol, seed=self.seed,
+                          dtype=self.compute_dtype,
+                          verbose=self.show_output)
+            jax.block_until_ready(result.core)
+        userid, itemid, feedback = self.data.fields
+        self.factors[userid] = result.u0
+        self.factors[itemid] = result.u1
+        self.factors[feedback] = result.u2
+        self.factors["core"] = result.core
+
+    def score_params(self) -> dict:
+        itemid = self.data.fields.itemid
+        feedback = self.data.fields.feedback
+        w = np.asarray(self.factors[feedback])
+        wt_flat = flatten_feedback_weights(w, self.flattener)
+        if wt_flat.ndim != 1:
+            raise ValueError("flattener must reduce the feedback factor to "
+                             "a vector")
+        # per-feedback-level scalar weights: alpha_f = w[f] . wt_flat
+        level_weights = jnp.asarray(w @ wt_flat, self.compute_dtype)
+        return {"item_factors": self.factors[itemid],
+                "level_weights": level_weights}
+
+    @staticmethod
+    def score_chunk(params: dict, chunk: TestChunk) -> jax.Array:
+        v = params["item_factors"]
+        # chunk.vals holds the feedback-level INDEX in tensor mode
+        levels = chunk.vals.astype(jnp.int32)
+        alpha = jnp.where(chunk.valid, params["level_weights"][levels], 0.0)
+        contrib = alpha[:, None].astype(v.dtype) * v[chunk.cols]
+        proj = jax.ops.segment_sum(contrib, chunk.rows,
+                                   num_segments=chunk.users.shape[0])
+        return proj @ v.T
+
+    def predict_feedback(self) -> np.ndarray:
+        """Rating prediction for the holdout: argmax over the feedback
+        axis of the per-event core response (reference
+        ``models.py:1068-1092``)."""
+        if self.data.warm_start:
+            raise NotImplementedError(
+                "feedback prediction needs known users")
+        userid, itemid, feedback = self.data.fields
+        holdout = self.data.test.holdout
+        users = jnp.asarray(holdout[userid].values, jnp.int32)
+        items = jnp.asarray(holdout[itemid].values, jnp.int32)
+        u = self.factors[userid]
+        v = self.factors[itemid]
+        w = self.factors[feedback]
+        g = self.factors["core"]
+        # scores[e, f] = w[f] . (G x0 u[user_e] x1 v[item_e])
+        gu = jnp.einsum("abc,ea->ebc", g, u[users])
+        guv = jnp.einsum("ebc,eb->ec", gu, v[items])
+        scores = guv @ w.T
+        predictions = np.asarray(jnp.argmax(scores, axis=-1))
+        feedback_map = self.data.index.feedback.set_index("new")
+        return feedback_map.loc[predictions, "old"].values

@@ -1,0 +1,167 @@
+"""Sparse third-order Tucker decomposition via HOOI.
+
+Replaces the reference's Numba ttm kernels + ARPACK loop
+(``polara/lib/tensor.py:37-96``, ``polara/lib/sparse.py:203-234``).
+
+Key reformulation: the reference scatters a rank1 x rank2 outer product per
+nonzero (``dttm_seq``: ``res[i0] += val * outer(u1[i1], u2[i2])``).  On TPU
+we exploit that the feedback mode is tiny (a handful of rating levels):
+one ``segment_sum`` over the joint (entity, feedback) key produces
+
+    A[u, f, :] = sum over events (u, i, f) of val * U1[i, :]
+
+and every mode's ttm unfolding is then a small einsum of ``A`` with the
+feedback factor — no per-nonzero outer products, no scatter conflicts, and
+the heavy contraction lands on the MXU.  Left singular vectors of the tall
+unfoldings come from tall-skinny QR + SVD of the small R factor.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class HooiResult(NamedTuple):
+    u0: jax.Array     # users   (n0, r0)
+    u1: jax.Array     # items   (n1, r1)
+    u2: jax.Array     # feedback (n2, r2)
+    core: jax.Array   # (r0, r1, r2)
+    growth_history: tuple
+
+
+def _left_singular_vectors(m: jax.Array, k: int) -> Tuple[jax.Array,
+                                                          jax.Array]:
+    """Top-k left singular vectors of a tall-skinny matrix (QR + small
+    SVD); returns (U_k, all singular values)."""
+    q, r = jnp.linalg.qr(m)
+    ur, s, _ = jnp.linalg.svd(r)
+    return q @ ur[:, :k], s
+
+
+def _entity_feedback_sums(seg_entity: jax.Array, fb: jax.Array,
+                          val: jax.Array, factor_rows: jax.Array,
+                          n_entity: int, n_fb: int) -> jax.Array:
+    """``A[e, f, :] = sum val * factor_rows`` grouped by (entity, feedback).
+    One fused gather + segment_sum; the workhorse of every ttm."""
+    joint = seg_entity * n_fb + fb
+    flat = jax.ops.segment_sum(val[:, None] * factor_rows, joint,
+                               num_segments=n_entity * n_fb)
+    return flat.reshape(n_entity, n_fb, factor_rows.shape[1])
+
+
+@partial(jax.jit, static_argnames=("shape", "core_shape"))
+def _hooi_sweep(i0, i1, i2, val, u0, u1, u2, shape, core_shape):
+    n0, n1, n2 = shape
+    r0, r1, r2 = core_shape
+
+    # mode-0 update: unfold = A x2 u2, A[u,f,:] = sum val*u1[i1]
+    a = _entity_feedback_sums(i0, i2, val, u1[i1], n0, n2)
+    m0 = jnp.einsum("ufa,fs->uas", a, u2).reshape(n0, -1)
+    u0, _ = _left_singular_vectors(m0, r0)
+
+    # mode-1 update with the refreshed u0
+    b = _entity_feedback_sums(i1, i2, val, u0[i0], n1, n2)
+    m1 = jnp.einsum("ifb,fs->ibs", b, u2).reshape(n1, -1)
+    u1, _ = _left_singular_vectors(m1, r1)
+
+    # mode-2 update with refreshed u0, u1; also yields the core
+    a2 = _entity_feedback_sums(i0, i2, val, u1[i1], n0, n2)
+    m2 = jnp.einsum("ufa,ub->fab", a2, u0).reshape(n2, -1)
+    uu, s, _ = jnp.linalg.svd(m2, full_matrices=False)  # n2 is tiny
+    u2 = uu[:, :r2]
+    core_norm = jnp.linalg.norm(s[:r2])
+
+    core = jnp.einsum("ua,ufb,fc->abc", u0, a2, u2)
+    return u0, u1, u2, core, core_norm
+
+
+def hooi(idx: np.ndarray, val: np.ndarray, shape: Tuple[int, int, int],
+         core_shape: Tuple[int, int, int], num_iters: int = 25,
+         growth_tol: float = 1e-4, seed: Optional[int] = None,
+         dtype=jnp.float32, verbose: bool = False) -> HooiResult:
+    """HOOI with QR-random init and core-growth convergence
+    (reference ``tensor.py:57-88``): stop when the relative growth of the
+    core norm falls below ``growth_tol``."""
+    n0, n1, n2 = (int(s) for s in shape)
+    r0, r1, r2 = core_shape
+    if not (r0 <= n0 and r1 <= n1 and r2 <= n2):
+        raise ValueError(f"core shape {core_shape} exceeds tensor {shape}")
+
+    i0 = jnp.asarray(idx[:, 0], jnp.int32)
+    i1 = jnp.asarray(idx[:, 1], jnp.int32)
+    i2 = jnp.asarray(idx[:, 2], jnp.int32)
+    vals = jnp.asarray(val, dtype)
+
+    key = jax.random.key(0 if seed is None else seed)
+    k1, k2 = jax.random.split(key)
+    u1 = jnp.linalg.qr(jax.random.uniform(k1, (n1, r1), dtype))[0]
+    u2 = jnp.linalg.qr(jax.random.uniform(k2, (n2, r2), dtype))[0]
+    u0 = jnp.zeros((n0, r0), dtype)
+    core = jnp.zeros(core_shape, dtype)
+
+    norm_old = 0.0
+    history = []
+    for step in range(num_iters):
+        u0, u1, u2, core, core_norm = _hooi_sweep(
+            i0, i1, i2, vals, u0, u1, u2, (n0, n1, n2), (r0, r1, r2))
+        norm_new = float(core_norm)
+        growth = (norm_new - norm_old) / norm_new
+        norm_old = norm_new
+        history.append(growth)
+        if verbose:
+            print(f"HOOI step {step + 1}: core growth {growth:.6f}")
+        if growth < growth_tol:
+            break
+    return HooiResult(u0=u0, u1=u1, u2=u2, core=core,
+                      growth_history=tuple(history))
+
+
+def round_core(core: np.ndarray, mode: int, rank: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Truncate one mode of the Tucker core via SVD of its unfolding
+    (reference ``models.py:970-980``) — evaluates smaller mlranks without
+    re-running HOOI.  Returns (rotation, new_core); the mode's factor is
+    updated as ``factor @ rotation``.  Host-side numpy: the core is tiny.
+    """
+    core = np.asarray(core)
+    lead = [mode] + [m for m in range(core.ndim) if m != mode]
+    flat = core.transpose(lead).reshape(core.shape[mode], -1, order="F")
+    u, s, vt = np.linalg.svd(flat, full_matrices=False)
+    rotation = u[:, :rank]
+    rest_dims = [core.shape[m] for m in lead[1:]]
+    inverse = np.argsort(lead)
+    new_core = (s[:rank, None] * vt[:rank])\
+        .reshape([rank] + rest_dims, order="F").transpose(inverse)
+    return rotation, np.ascontiguousarray(new_core)
+
+
+def flatten_feedback_weights(w, flattener) -> np.ndarray:
+    """Collapse the feedback factor into a rank-r2 weighting vector used by
+    the scoring path (reference ``flatten_scores``, ``models.py:983-1006``,
+    applied to ``w.T`` at ``models.py:1052``).
+
+    The flattener decides how predicted scores across rating levels merge
+    into one relevance score per item (the polarity trick: summing over all
+    levels weights items by how confidently the model puts them in *high*
+    ratings).
+    """
+    wt = np.asarray(w).T               # (r2, n_fb)
+    if flattener is None:
+        flattener = slice(None)
+    if isinstance(flattener, str):
+        return getattr(np, flattener)(wt, axis=-1)
+    if isinstance(flattener, (int, np.integer)):
+        return wt[..., flattener]
+    if isinstance(flattener, (list, slice)):
+        return wt[..., flattener].sum(axis=-1)
+    if isinstance(flattener, tuple):
+        slicer, method = flattener
+        slicer = slice(None) if slicer is None else slicer
+        return getattr(np, method)(wt[..., slicer], axis=-1)
+    if callable(flattener):
+        return np.asarray(flattener(wt))
+    raise ValueError("Unrecognized flattener value")

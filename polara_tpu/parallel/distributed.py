@@ -1,0 +1,129 @@
+"""Multi-chip training and scoring (new capability vs the reference).
+
+The reference is a single-process CPU library whose only parallelism is a
+thread pool over test-user slices (``polara/recommender/models.py:374-405``)
+— SURVEY.md §2.9/§5.8.  Here the same workloads scale over a
+``jax.sharding.Mesh``:
+
+* **scoring** — test-user rows shard over the ``users`` axis; scoring is
+  embarrassingly parallel, the only collective is the final metric psum;
+* **randomized SVD build** — the ratings matrix shards by rows.  Tall-skinny
+  QR does not SPMD well, so orthogonalization uses **CholeskyQR2**: the
+  b×b Gram matrix is a ``psum`` over row shards, its Cholesky factor is
+  tiny and replicated, and the panel update is a local matmul.  Two passes
+  restore the orthogonality QR would give (Fukaya et al.), and every flop
+  lands on the MXU.
+
+All collectives are inserted by GSPMD from sharding annotations and ride
+ICI within a slice.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from polara_tpu.ops.rsvd import SvdResult
+from polara_tpu.ops.topk import mask_and_topk
+
+
+def cholesky_qr2(y: jax.Array, eps: float = 0.0) -> Tuple[jax.Array,
+                                                          jax.Array]:
+    """Orthonormalize the columns of a (possibly row-sharded) tall matrix.
+
+    Returns (Q, R) with ``y = Q R``.  The Gram matrix reduction is the only
+    cross-shard communication; under GSPMD it lowers to one psum of a
+    (b, b) block per pass.
+    """
+    def one_pass(a):
+        gram = a.T @ a
+        if eps:
+            gram = gram + eps * jnp.eye(gram.shape[0], dtype=gram.dtype)
+        r = jnp.linalg.cholesky(gram).T  # upper triangular
+        q = jax.scipy.linalg.solve_triangular(r.T, a.T, lower=True).T
+        return q, r
+
+    q1, r1 = one_pass(y)
+    q2, r2 = one_pass(q1)
+    return q2, r2 @ r1
+
+
+@partial(jax.jit, static_argnames=("n_iter", "k"))
+def _dist_rsvd_iterations(r_matrix: jax.Array, omega: jax.Array,
+                          n_iter: int, k: int) -> SvdResult:
+    q, _ = cholesky_qr2(r_matrix @ omega)
+    for _ in range(n_iter):
+        z, _ = cholesky_qr2(r_matrix.T @ q)
+        q, _ = cholesky_qr2(r_matrix @ z)
+    b = q.T @ r_matrix                    # (block, n)
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    return SvdResult(u=(q @ ub)[:, :k], s=s[:k], v=vt[:k, :].T)
+
+
+def distributed_randomized_svd(r_matrix: jax.Array, k: int,
+                               mesh: Mesh,
+                               oversample: Optional[int] = None,
+                               n_iter: int = 8,
+                               seed: int = 0) -> SvdResult:
+    """Rank-k truncated SVD of a dense ratings matrix sharded by rows.
+
+    ``r_matrix`` is placed with rows over the mesh ``users`` axis; the
+    k-wide panels stay replicated (they are tiny next to R).  GSPMD turns
+    the Gram products into psums over ICI.
+    """
+    m, n = r_matrix.shape
+    block = min(k + (oversample if oversample is not None else max(10, k)),
+                min(m, n))
+    users_axis = mesh.axis_names[0]
+    r_matrix = jax.device_put(
+        r_matrix, NamedSharding(mesh, P(users_axis, None)))
+    omega = jax.device_put(
+        jax.random.normal(jax.random.key(seed), (n, block),
+                          dtype=r_matrix.dtype),
+        NamedSharding(mesh, P()))
+    return _dist_rsvd_iterations(r_matrix, omega, n_iter, k)
+
+
+@partial(jax.jit, static_argnames=("topk",))
+def score_mask_topk_step(item_factors: jax.Array, profiles: jax.Array,
+                         seen_rows: jax.Array, seen_cols: jax.Array,
+                         seen_valid: jax.Array, topk: int) -> jax.Array:
+    """One fused inference step: ``(P·V)·Vᵀ`` → downvote seen → top-k.
+
+    ``profiles`` rows may be sharded over the ``users`` mesh axis; factors
+    replicate.  This is the flagship forward step exposed via
+    ``__graft_entry__``.
+    """
+    scores = (profiles @ item_factors) @ item_factors.T
+    return mask_and_topk(scores, seen_rows, seen_cols, seen_valid, topk)
+
+
+class TrainEvalStepResult(NamedTuple):
+    factors: SvdResult
+    recommendations: jax.Array
+    hit_count: jax.Array
+
+
+@partial(jax.jit, static_argnames=("n_iter", "k", "topk"))
+def full_train_step(r_train: jax.Array, omega: jax.Array,
+                    profiles: jax.Array, seen_rows: jax.Array,
+                    seen_cols: jax.Array, seen_valid: jax.Array,
+                    holdout_items: jax.Array, n_iter: int, k: int,
+                    topk: int) -> TrainEvalStepResult:
+    """Full distributed pipeline step: factorize → score → top-k → HR psum.
+
+    Everything downstream of the sharded inputs is one XLA program; GSPMD
+    inserts the collectives (Gram psums in CholeskyQR2, final hit-count
+    reduction).
+    """
+    factors = _dist_rsvd_iterations(r_train, omega, n_iter, k)
+    recs = score_mask_topk_step(factors.v, profiles, seen_rows, seen_cols,
+                                seen_valid, topk)
+    hits = (recs == holdout_items[:, None]).any(axis=1)
+    return TrainEvalStepResult(factors=factors,
+                               recommendations=recs,
+                               hit_count=jnp.sum(hits))

@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from polara_tpu.parallel import (cholesky_qr2, distributed_randomized_svd,
+                                 full_train_step, make_mesh)
+from polara_tpu.ops.rsvd import randomized_svd, principal_angles_max_sin
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(axes=("users", "model"))
+
+
+def test_virtual_mesh_has_8_devices(mesh):
+    assert len(jax.devices()) == 8
+    assert mesh.shape["users"] == 8
+
+
+def test_cholesky_qr2_orthonormal():
+    rs = np.random.RandomState(0)
+    y = jnp.asarray(rs.randn(200, 12))
+    q, r = cholesky_qr2(y)
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(12), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(q @ r), np.asarray(y), atol=1e-9)
+
+
+def test_distributed_rsvd_matches_single_device(mesh):
+    rs = np.random.RandomState(1)
+    # geometric spectrum: well-separated subspaces so both solvers converge
+    u, _ = np.linalg.qr(rs.randn(160, 60))
+    v, _ = np.linalg.qr(rs.randn(60, 60))
+    a = (u * np.power(0.7, np.arange(60))) @ v.T
+    res_dist = distributed_randomized_svd(jnp.asarray(a), 8, mesh,
+                                          n_iter=30, seed=0)
+    res_local = randomized_svd(jnp.asarray(a), 8, tol=1e-13, max_iter=300,
+                               seed=0, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(res_dist.s),
+                               np.asarray(res_local.s), rtol=1e-8)
+    assert principal_angles_max_sin(res_dist.v, res_local.v) < 1e-6
+
+
+def test_full_train_step_runs_sharded(mesh):
+    rs = np.random.RandomState(2)
+    n_users, n_items, k, topk = 64, 40, 4, 5
+    r = jnp.asarray(rs.rand(n_users, n_items) *
+                    (rs.rand(n_users, n_items) < 0.3))
+    users_sh = NamedSharding(mesh, P("users", None))
+    repl = NamedSharding(mesh, P())
+    r_sharded = jax.device_put(r, users_sh)
+    omega = jax.device_put(
+        jax.random.normal(jax.random.key(0), (n_items, k + 4), r.dtype),
+        repl)
+    profiles = jax.device_put(r, users_sh)
+    seen_rows, seen_cols = np.nonzero(np.asarray(r))
+    holdout = jnp.asarray(rs.randint(0, n_items, n_users))
+    result = full_train_step(
+        r_sharded, omega, profiles,
+        jnp.asarray(seen_rows, jnp.int32), jnp.asarray(seen_cols, jnp.int32),
+        jnp.ones(len(seen_rows), bool),
+        jax.device_put(holdout, NamedSharding(mesh, P("users"))),
+        n_iter=3, k=k, topk=topk)
+    assert result.recommendations.shape == (n_users, topk)
+    assert 0 <= int(result.hit_count) <= n_users
+    # seen items never recommended
+    recs = np.asarray(result.recommendations)
+    seen_set = {(int(a), int(b)) for a, b in zip(seen_rows, seen_cols)}
+    for u in range(n_users):
+        for item in recs[u]:
+            assert (u, int(item)) not in seen_set
