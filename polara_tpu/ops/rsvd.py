@@ -39,18 +39,22 @@ def _as_operator(a: Union[jax.Array, MatmulOperator]) -> MatmulOperator:
     return dense_operator(a)
 
 
-@partial(jax.jit, static_argnames=("op",))
+@jax.jit
 def _power_step(op: MatmulOperator, q: jax.Array
                 ) -> Tuple[jax.Array, jax.Array]:
     """One two-sided orthogonalized power iteration; returns the refreshed
-    range basis and current singular-value estimates."""
+    range basis and current singular-value estimates.
+
+    ``op`` is a pytree argument: its backing arrays are traced operands,
+    so the compiled step is reused across rebuilds and nothing lands in
+    the program as a constant."""
     z, r = jnp.linalg.qr(op.rmm(q))
     s_est = jnp.abs(jnp.diagonal(r))
     q, _ = jnp.linalg.qr(op.mm(z))
     return q, s_est
 
 
-@partial(jax.jit, static_argnames=("op",))
+@jax.jit
 def _finalize(op: MatmulOperator, q: jax.Array
               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     b = op.rmm(q).T                     # (b, n) = Q^T A

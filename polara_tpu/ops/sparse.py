@@ -30,7 +30,8 @@ import jax.numpy as jnp
 # operator protocol
 # --------------------------------------------------------------------------
 
-@dataclasses.dataclass(frozen=True)
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class MatmulOperator:
     """A linear operator defined by blocked matmuls ``A @ X`` / ``A.T @ X``.
 
@@ -38,25 +39,68 @@ class MatmulOperator:
     reference's HybridSVD build (``polara/recommender/hybrid/models.py:
     368-384``), generalized to matrix-matrix products since randomized SVD
     iterates on k-wide panels rather than single vectors.
+
+    Registered as a pytree: ``operands`` (the backing arrays) are traced
+    children while the matmul callables are static aux data — so operators
+    pass straight through ``jax.jit`` without baking multi-GB arrays into
+    the compiled program as constants, and compiled solvers are reused
+    across rebuilds as long as the callables and shapes match.  The
+    callables must be module-level functions (stable identity), taking
+    ``(operands, x)``.
     """
     shape: Tuple[int, int]
-    mm: Callable[[jax.Array], jax.Array]    # (n, k) -> (m, k)
-    rmm: Callable[[jax.Array], jax.Array]   # (m, k) -> (n, k)
+    mm_fn: Callable    # (operands, (n, k), out_dim) -> (out_dim, k)
+    rmm_fn: Callable   # (operands, (m, k), out_dim) -> (out_dim, k)
+    operands: Tuple = ()
     dtype: jnp.dtype = jnp.float32
+
+    def mm(self, x: jax.Array) -> jax.Array:
+        return self.mm_fn(self.operands, x, self.shape[0])
+
+    def rmm(self, x: jax.Array) -> jax.Array:
+        return self.rmm_fn(self.operands, x, self.shape[1])
 
     @property
     def T(self) -> "MatmulOperator":
         return MatmulOperator(shape=(self.shape[1], self.shape[0]),
-                              mm=self.rmm, rmm=self.mm, dtype=self.dtype)
+                              mm_fn=self.rmm_fn, rmm_fn=self.mm_fn,
+                              operands=self.operands, dtype=self.dtype)
+
+    def tree_flatten(self):
+        return self.operands, (self.shape, self.mm_fn, self.rmm_fn,
+                               self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        shape, mm_fn, rmm_fn, dtype = aux
+        return cls(shape=shape, mm_fn=mm_fn, rmm_fn=rmm_fn,
+                   operands=tuple(children), dtype=dtype)
+
+
+def _dense_mm(operands, x, out_dim):
+    return operands[0] @ x
+
+
+def _dense_rmm(operands, x, out_dim):
+    return operands[0].T @ x
+
+
+def _coo_mm(operands, x, out_dim):
+    rows, cols, vals = operands
+    return jax.ops.segment_sum(vals[:, None] * x[cols], rows,
+                               num_segments=out_dim)
+
+
+def _coo_rmm(operands, x, out_dim):
+    rows, cols, vals = operands
+    return jax.ops.segment_sum(vals[:, None] * x[rows], cols,
+                               num_segments=out_dim)
 
 
 def dense_operator(matrix: jax.Array) -> MatmulOperator:
-    return MatmulOperator(
-        shape=matrix.shape,
-        mm=lambda x: matrix @ x,
-        rmm=lambda x: matrix.T @ x,
-        dtype=matrix.dtype,
-    )
+    return MatmulOperator(shape=matrix.shape, mm_fn=_dense_mm,
+                          rmm_fn=_dense_rmm, operands=(matrix,),
+                          dtype=matrix.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -111,8 +155,10 @@ class CooMatrix:
                                    num_segments=self.shape[1])
 
     def operator(self) -> MatmulOperator:
-        return MatmulOperator(shape=self.shape, mm=self.matmul,
-                              rmm=self.rmatmul, dtype=self.vals.dtype)
+        return MatmulOperator(shape=self.shape, mm_fn=_coo_mm,
+                              rmm_fn=_coo_rmm,
+                              operands=(self.rows, self.cols, self.vals),
+                              dtype=self.vals.dtype)
 
     def row_nnz(self) -> jax.Array:
         ones = jnp.ones_like(self.vals)
