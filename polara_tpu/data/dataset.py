@@ -196,13 +196,16 @@ class RecommenderData:
 
     # --- splitting ----------------------------------------------------------
 
+    def _plan_update(self, changed: frozenset):
+        """State-machine step (overridable hook — cold start extends it)."""
+        return plan_update(self._state, changed, self._holdout_size,
+                           self._test_ratio, self._warm_start,
+                           self._random_holdout)
+
     def _split_data(self) -> UpdateRule:
         validate_config(self._holdout_size, self._test_ratio,
                         self._test_fold, self._warm_start)
-        new_state, rule = plan_update(
-            self._state, frozenset(self._pending_changes),
-            self._holdout_size, self._test_ratio, self._warm_start,
-            self._random_holdout)
+        new_state, rule = self._plan_update(frozenset(self._pending_changes))
 
         if not rule.any:
             if self.verbose:
@@ -467,13 +470,19 @@ class RecommenderData:
                       "testset. Reason: inconsistent with holdout.")
 
     def _reindex_test_data(self) -> None:
-        self._map_entity(self.fields.itemid, self._test.testset)
-        self._map_entity(self.fields.itemid, self._test.holdout)
+        self._assign_test_items_index()
         if not self._warm_start:
-            self._map_entity(self.fields.userid, self._test.testset)
-            self._map_entity(self.fields.userid, self._test.holdout)
+            self._assign_test_users_index()
         else:
             self._reindex_test_users()
+
+    def _assign_test_items_index(self) -> None:
+        self._map_entity(self.fields.itemid, self._test.testset)
+        self._map_entity(self.fields.itemid, self._test.holdout)
+
+    def _assign_test_users_index(self) -> None:
+        self._map_entity(self.fields.userid, self._test.testset)
+        self._map_entity(self.fields.userid, self._test.holdout)
 
     def _reindex_test_users(self) -> None:
         userid = self.fields.userid
