@@ -12,6 +12,7 @@ from polara_tpu.models.coldstart import (
     HybridSVDItemColdStart, ScaledSVDItemColdStart,
     ScaledHybridSVDItemColdStart, LCEModelItemColdStart)
 from polara_tpu.models.contextual import ItemPostFilteringMixin
+from polara_tpu.models.implicit_mf import ImplicitALS, ImplicitBPR
 
 __all__ = ["RecommenderModel", "EmbeddingsMixin", "PopularityModel",
            "RandomModel", "CooccurrenceModel", "SVDModel", "ScaledSVD",
@@ -22,4 +23,4 @@ __all__ = ["RecommenderModel", "EmbeddingsMixin", "PopularityModel",
            "SimilarityAggregationItemColdStart", "SVDModelItemColdStart",
            "HybridSVDItemColdStart", "ScaledSVDItemColdStart",
            "ScaledHybridSVDItemColdStart", "LCEModelItemColdStart",
-           "ItemPostFilteringMixin"]
+           "ItemPostFilteringMixin", "ImplicitALS", "ImplicitBPR"]
