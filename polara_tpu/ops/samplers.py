@@ -91,9 +91,15 @@ def split_top_continuous(tasks: np.ndarray, priorities: np.ndarray
 
     Walk instances in descending priority; the first occurrence of each
     task joins the top sequence, later occurrences above the global cutoff
-    displace the earlier pick into the non-sequential set.
+    displace the earlier pick into the non-sequential set.  Large inputs
+    route through the native C++ kernel (:mod:`polara_tpu.native`).
     """
     tasks = np.asarray(tasks)
+    if len(tasks) >= 10_000:
+        from polara_tpu import native
+        if native.native_available():
+            return native.split_top_continuous(
+                tasks, np.asarray(priorities, dtype=np.float64))
     order = np.argsort(-np.asarray(priorities), kind="stable")
     top_of: dict = {}
     nonseq_idx: List[int] = []
