@@ -51,6 +51,10 @@ _DEFAULTS: Dict[str, Any] = dict(
     hbm_score_budget_gb=4.0,    # soft cap for a single score block in HBM
     compute_dtype="float32",    # dtype of device-side factor/score math
     device_mesh_axes=("users", "model"),
+    # fused Pallas score->mask->top-k backend: "auto" uses it on TPU for
+    # factor models when topk <= 128; True forces (interpret on CPU);
+    # False always uses the XLA path
+    pallas_scoring="auto",
 )
 
 

@@ -34,7 +34,7 @@ from polara_tpu.evaluation.metrics import (Experience, Hits, Ranking,
                                            SimpleRelevance, compute_metrics,
                                            get_experience_scores)
 from polara_tpu.ops.scoring import (ChunkedTestData, TestChunk, run_scoring,
-                                    compiled_step)
+                                    run_scoring_fused, compiled_step)
 from polara_tpu.ops.sparse import CooMatrix, coo_from_arrays, dense_from_coo
 from polara_tpu.ops.topk import PAD_CONST
 
@@ -208,6 +208,11 @@ class RecommenderModel:
     def score_chunk(params: dict, chunk: TestChunk) -> jax.Array:
         raise NotImplementedError("implemented by concrete models")
 
+    # Factor models additionally expose the ``proj @ panelᵀ`` split
+    # (proj_chunk + params["item_panel"]) which unlocks the fused Pallas
+    # streaming backend; None means dense-score models (XLA path only).
+    proj_chunk = None
+
     def score_params(self) -> dict:
         """Pytree of device arrays consumed by ``score_chunk``."""
         raise NotImplementedError("implemented by concrete models")
@@ -219,6 +224,16 @@ class RecommenderModel:
         self._test_plan = plan
         params = dict(self.score_params())
         params["test_users"] = jnp.asarray(test_users, jnp.int32)
+
+        mode = defaults.get_default("pallas_scoring")
+        usable = type(self).proj_chunk is not None and self.topk <= 128 \
+            and "item_panel" in params
+        on_tpu = jax.default_backend() == "tpu"
+        if usable and (mode is True or (mode == "auto" and on_tpu)):
+            return run_scoring_fused(
+                plan, type(self).proj_chunk, params, topk=self.topk,
+                filter_seen=self.filter_seen, n_valid_cols=plan.n_items,
+                interpret=not on_tpu)
         return run_scoring(plan, type(self).score_chunk, params,
                            topk=self.topk, filter_seen=self.filter_seen,
                            n_valid_cols=plan.n_items)

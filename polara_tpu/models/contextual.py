@@ -19,6 +19,10 @@ class ItemPostFilteringMixin:
     above the global maximum, preserving their relative order (reference
     formula ``upscored = scores.max() + context_scores + 1``)."""
 
+    # the boost rewrites dense scores — the factor-decomposed fused
+    # backend cannot express it, so force the XLA path
+    proj_chunk = None
+
     def score_params(self) -> dict:
         params = dict(super().score_params())
         items, valid = self.data.upvote_arrays()

@@ -283,10 +283,12 @@ class LCEModel(RecommenderModel):
 
     def score_params(self) -> dict:
         return {"user_factors": self.factors[self.data.fields.userid],
-                "item_factors": self.factors[self.data.fields.itemid]}
+                "item_factors": self.factors[self.data.fields.itemid],
+                "item_panel": self.factors[self.data.fields.itemid]}
 
     # same factor-lookup scoring (and shared compiled step) as PMF
     score_chunk = staticmethod(ProbabilisticMF.score_chunk)
+    proj_chunk = staticmethod(ProbabilisticMF.proj_chunk)
 
     def get_recommendations(self):
         if self.data.warm_start:
@@ -399,18 +401,25 @@ class HybridSVD(CholeskyFactorsMixin, SVDModel):
         vl, vr = self.get_item_projector()
         if vl is None:
             return super().score_params()
-        return {"projector_left": vl, "projector_right": vr}
+        return {"projector_left": vl, "projector_right": vr,
+                "item_panel": vl}
+
+    @staticmethod
+    def proj_chunk(params: dict, chunk: TestChunk) -> jax.Array:
+        if "projector_right" not in params:
+            return SVDModel.proj_chunk(params, chunk)
+        vr = params["projector_right"]
+        contrib = chunk.vals[:, None].astype(vr.dtype) * vr[chunk.cols]
+        contrib = jnp.where(chunk.valid[:, None], contrib, 0)
+        return jax.ops.segment_sum(contrib, chunk.rows,
+                                   num_segments=chunk.users.shape[0])
 
     @staticmethod
     def score_chunk(params: dict, chunk: TestChunk) -> jax.Array:
         if "projector_left" not in params:
             return SVDModel.score_chunk(params, chunk)
-        vl = params["projector_left"]
-        vr = params["projector_right"]
-        contrib = chunk.vals[:, None].astype(vr.dtype) * vr[chunk.cols]
-        proj = jax.ops.segment_sum(contrib, chunk.rows,
-                                   num_segments=chunk.users.shape[0])
-        return proj @ vl.T
+        return HybridSVD.proj_chunk(params, chunk) \
+            @ params["projector_left"].T
 
 
 class ScaledHybridSVD(ScaledMatrixMixin, HybridSVD):

@@ -42,10 +42,12 @@ class _RankedFactorModel(EmbeddingsMixin, RecommenderModel):
 
     def score_params(self) -> dict:
         return {"user_factors": self.factors[self.data.fields.userid],
-                "item_factors": self.factors[self.data.fields.itemid]}
+                "item_factors": self.factors[self.data.fields.itemid],
+                "item_panel": self.factors[self.data.fields.itemid]}
 
     # known-user scoring: factor lookup, same compiled step as PMF
     score_chunk = staticmethod(ProbabilisticMF.score_chunk)
+    proj_chunk = staticmethod(ProbabilisticMF.proj_chunk)
 
     def _warm_start_profiles(self):
         (user_rows, item_idx, feedback), test_shape, _ = \

@@ -62,14 +62,19 @@ class ProbabilisticMF(EmbeddingsMixin, RecommenderModel):
 
     def score_params(self) -> dict:
         return {"user_factors": self.factors[self.data.fields.userid],
-                "item_factors": self.factors[self.data.fields.itemid]}
+                "item_factors": self.factors[self.data.fields.itemid],
+                "item_panel": self.factors[self.data.fields.itemid]}
+
+    @staticmethod
+    def proj_chunk(params: dict, chunk: TestChunk) -> jax.Array:
+        """Known-user panel: factor lookup by absolute test-user id
+        (reference ``models.py:779-787``)."""
+        return params["user_factors"][params["test_users"][chunk.users]]
 
     @staticmethod
     def score_chunk(params: dict, chunk: TestChunk) -> jax.Array:
-        """Known-user scoring: factor lookup by absolute test-user id
-        (reference ``models.py:779-787``)."""
-        u = params["user_factors"][params["test_users"][chunk.users]]
-        return u @ params["item_factors"].T
+        return ProbabilisticMF.proj_chunk(params, chunk) \
+            @ params["item_factors"].T
 
     def get_recommendations(self):
         if self.data.warm_start:

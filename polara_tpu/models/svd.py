@@ -84,17 +84,22 @@ class SVDModel(RecommenderModel):
         self.factors["singular_values"] = result.s
 
     def score_params(self) -> dict:
-        return {"item_factors": self.factors[self.data.fields.itemid]}
+        v = self.factors[self.data.fields.itemid]
+        return {"item_factors": v, "item_panel": v}
+
+    @staticmethod
+    def proj_chunk(params: dict, chunk: TestChunk) -> jax.Array:
+        """User-side panel ``R_chunk @ V`` without materializing R_chunk
+        (feeds both the XLA and the fused Pallas backend)."""
+        v = params["item_factors"]
+        contrib = chunk.vals[:, None].astype(v.dtype) * v[chunk.cols]
+        contrib = jnp.where(chunk.valid[:, None], contrib, 0)
+        return jax.ops.segment_sum(contrib, chunk.rows,
+                                   num_segments=chunk.users.shape[0])
 
     @staticmethod
     def score_chunk(params: dict, chunk: TestChunk) -> jax.Array:
-        v = params["item_factors"]
-        chunk_users = chunk.users.shape[0]
-        # R_chunk @ V without materializing R_chunk
-        contrib = chunk.vals[:, None].astype(v.dtype) * v[chunk.cols]
-        proj = jax.ops.segment_sum(contrib, chunk.rows,
-                                   num_segments=chunk_users)
-        return proj @ v.T
+        return SVDModel.proj_chunk(params, chunk) @ params["item_panel"].T
 
 
 class ScaledMatrixMixin:

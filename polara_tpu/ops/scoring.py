@@ -166,3 +166,54 @@ def run_scores_only(data: ChunkedTestData, score_fn: ScoreFn,
         stop = min(start + data.chunk_users, data.n_users)
         parts.append(np.asarray(scores)[: stop - start])
     return np.concatenate(parts, axis=0)
+
+
+# --------------------------------------------------------------------------
+# Fused Pallas backend
+# --------------------------------------------------------------------------
+# Factor models score as ``proj @ panelᵀ``; when a model exposes that
+# decomposition (``proj_chunk`` + a ``"item_panel"`` param), the streaming
+# Pallas kernel (polara_tpu.ops.pallas) replaces the XLA score->mask->top-k
+# step on TPU: the dense score block never leaves VMEM.
+
+def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
+                      topk: int, filter_seen: bool = True,
+                      n_valid_cols: Optional[int] = None,
+                      interpret: bool = False) -> np.ndarray:
+    """Like :func:`run_scoring` but through the fused Pallas kernel.
+
+    ``proj_fn(params, chunk) -> (chunk_users, r)`` produces the user-side
+    panel; ``params["item_panel"]`` is the (n_items, r) item-side panel.
+    """
+    from polara_tpu.ops.pallas import fused_score_topk, pack_seen_bits
+
+    panel = params["item_panel"]
+    n_valid = n_valid_cols if n_valid_cols is not None else panel.shape[0]
+    proj_jit = compiled_proj(proj_fn)
+    parts = []
+    for c, chunk in enumerate(data.chunks):
+        proj = proj_jit(params, chunk)
+        rows = np.asarray(chunk.rows)
+        cols = np.asarray(chunk.cols)
+        valid = np.asarray(chunk.valid)
+        seen_bits = jnp.asarray(pack_seen_bits(
+            rows[valid], cols[valid], data.chunk_users, panel.shape[0]))
+        recs = fused_score_topk(proj, panel, seen_bits, topk,
+                                filter_seen=filter_seen,
+                                n_valid_cols=n_valid,
+                                interpret=interpret)
+        start = c * data.chunk_users
+        stop = min(start + data.chunk_users, data.n_users)
+        parts.append(np.asarray(recs)[: stop - start])
+    return np.concatenate(parts, axis=0)
+
+
+_proj_cache: dict = {}
+
+
+def compiled_proj(proj_fn: ScoreFn):
+    step = _proj_cache.get(proj_fn)
+    if step is None:
+        step = jax.jit(proj_fn)
+        _proj_cache[proj_fn] = step
+    return step

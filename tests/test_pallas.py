@@ -1,0 +1,118 @@
+"""Fused Pallas scoring backend: kernel parity + driver integration.
+
+On CPU the kernel runs in interpret mode (Mosaic lowering needs real
+TPU); the driver integration test forces ``pallas_scoring=True`` which
+maps to interpret off-TPU — numerics must match the XLA path exactly.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from polara_tpu import config as defaults
+from polara_tpu.data import RecommenderData
+from polara_tpu.datasets import make_synthetic_interactions
+from polara_tpu.models import SVDModel, ProbabilisticMF
+from polara_tpu.ops.pallas import (CARRY_WIDTH, fused_score_topk,
+                                   pack_seen_bits)
+from polara_tpu.ops.topk import mask_and_topk
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def _random_case(seed, n_users=16, n_items=700, rank=12, nnz=300):
+    rs = np.random.RandomState(seed)
+    proj = jnp.asarray(rs.randn(n_users, rank), jnp.float32)
+    items = jnp.asarray(rs.randn(n_items, rank), jnp.float32)
+    rows = rs.randint(0, n_users, nnz).astype(np.int32)
+    cols = rs.randint(0, n_items, nnz).astype(np.int32)
+    return proj, items, rows, cols
+
+
+@pytest.mark.parametrize("filter_seen", [True, False])
+def test_kernel_parity_with_xla(filter_seen):
+    proj, items, rows, cols = _random_case(0)
+    n_items = items.shape[0]
+    bits = jnp.asarray(pack_seen_bits(rows, cols, proj.shape[0], n_items))
+    got = np.asarray(fused_score_topk(proj, items, bits, 10,
+                                      filter_seen=filter_seen,
+                                      interpret=INTERP))
+    ref = np.asarray(mask_and_topk(
+        proj @ items.T, jnp.asarray(rows), jnp.asarray(cols),
+        jnp.ones(len(rows), bool), 10, filter_seen=filter_seen,
+        n_valid_cols=n_items))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_kernel_pad_beyond_catalog():
+    proj, items, rows, cols = _random_case(1, n_items=35, nnz=0)
+    bits = jnp.zeros((proj.shape[0], 2), jnp.uint32)
+    got = np.asarray(fused_score_topk(proj, items, bits, 40,
+                                      filter_seen=False, n_valid_cols=35,
+                                      interpret=INTERP))
+    assert (got[:, 35:] == -1).all()
+    order = np.argsort(-np.asarray(proj @ items.T), axis=1)
+    np.testing.assert_array_equal(got[:, :35], order)
+
+
+def test_kernel_user_blocking():
+    proj, items, rows, cols = _random_case(2, n_users=40, nnz=500)
+    bits = jnp.asarray(pack_seen_bits(rows, cols, 40, items.shape[0]))
+    got = np.asarray(fused_score_topk(proj, items, bits, 5,
+                                      block_users=16, interpret=INTERP))
+    ref = np.asarray(mask_and_topk(
+        proj @ items.T, jnp.asarray(rows), jnp.asarray(cols),
+        jnp.ones(len(rows), bool), 5, filter_seen=True,
+        n_valid_cols=items.shape[0]))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_kernel_k_guard():
+    proj, items, _, _ = _random_case(3)
+    bits = jnp.zeros((proj.shape[0], 32), jnp.uint32)
+    with pytest.raises(ValueError, match="k <="):
+        fused_score_topk(proj, items, bits, CARRY_WIDTH + 1,
+                         interpret=INTERP)
+
+
+def test_pack_seen_bits_roundtrip():
+    rs = np.random.RandomState(4)
+    rows = rs.randint(0, 10, 200)
+    cols = rs.randint(0, 9000, 200)
+    words = pack_seen_bits(rows, cols, 10, 9000, tile_n=4096)
+    w = 4096 // 32
+    for r, c in zip(rows, cols):
+        t, o = c // 4096, c % 4096
+        assert (words[r, t * w + o % w] >> (o // w)) & 1
+
+
+@pytest.fixture
+def small_data():
+    events = make_synthetic_interactions(n_users=50, n_items=30,
+                                         n_events=800, seed=0)
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False  # known-user scenario (PMF has no folding-in)
+    data.test_ratio = 0
+    data.holdout_size = 2
+    data.prepare()
+    return data
+
+
+@pytest.mark.parametrize("model_cls", [SVDModel, ProbabilisticMF])
+def test_driver_fused_matches_xla(small_data, model_cls):
+    model = model_cls(small_data)
+    model.verbose = False
+    if hasattr(model, "rank"):
+        model.rank = 6
+    if isinstance(model, ProbabilisticMF):
+        model.num_epochs = 3
+    xla_recs = model.recommendations.copy()
+    saved = defaults.get_default("pallas_scoring")
+    try:
+        defaults.set_default("pallas_scoring", True)
+        model._recommendations = None
+        fused_recs = model.recommendations
+    finally:
+        defaults.set_default("pallas_scoring", saved)
+    np.testing.assert_array_equal(fused_recs, xla_recs)
