@@ -385,6 +385,33 @@ class RecommenderModel:
             raise ValueError(f"Unknown metric types: {metric_type}")
         return scores[0] if len(scores) == 1 else scores
 
+    # --- persistence ----------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist trained factors (+ method metadata) to an npz artifact
+        (see :mod:`polara_tpu.runtime.checkpoint`)."""
+        from polara_tpu.runtime.checkpoint import save_factors
+        factors = getattr(self, "factors", None)
+        if not factors:
+            raise ValueError(f"{self.method} has no trained factors to "
+                             "save; build() first")
+        meta = {"method": self.method, "class": type(self).__name__}
+        rank = getattr(self, "rank", None)
+        if isinstance(rank, (int, float)):
+            meta["rank"] = int(rank)
+        save_factors(path, factors, meta)
+
+    def load(self, path: str) -> Dict[str, Any]:
+        """Restore factors saved by :meth:`save`; the model becomes ready
+        without retraining (rank truncation still applies on top)."""
+        from polara_tpu.runtime.checkpoint import load_factors
+        factors, meta = load_factors(path)
+        self.factors = factors
+        self._recommendations = None
+        self._test_plan = None
+        self._is_ready = True
+        return meta
+
     # --- invariants -----------------------------------------------------------
 
     def verify_data_integrity(self):
