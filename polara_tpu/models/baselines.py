@@ -117,3 +117,49 @@ def _build_i2i(rows, cols, vals, shape):
     dense = jnp.zeros(shape, vals.dtype).at[rows, cols].add(vals)
     i2i = dense.T @ dense
     return i2i - jnp.diag(jnp.diagonal(i2i))
+
+
+class NonPersonalized(RecommenderModel):
+    """Deprecated most-popular / random / top-score model
+    (reference ``models.py:607-646``) — kept for API parity; use
+    :class:`PopularityModel` or :class:`RandomModel` instead."""
+
+    def __init__(self, kind, *args, **kwargs):
+        import warnings
+        warnings.warn("This is a deprecated method. Use either "
+                      "PopularityModel or RandomModel instead.",
+                      DeprecationWarning)
+        self.seed = kwargs.pop("seed", None)
+        super().__init__(*args, **kwargs)
+        self.method = kind
+
+    def build(self):
+        itemid = self.data.fields.itemid
+        feedback = self.data.fields.feedback
+        groups = self.data.training.groupby(itemid, sort=True)
+        if self.method == "mostpopular":
+            self.item_scores = jnp.asarray(groups.size().values,
+                                           self.compute_dtype)
+        elif self.method == "topscore":
+            self.item_scores = jnp.asarray(groups[feedback].sum().values,
+                                           self.compute_dtype)
+        elif self.method == "random":
+            n_items = self.data.get_entity_index(itemid).shape[0]
+            self.item_scores = jnp.zeros((n_items,), self.compute_dtype)
+        else:
+            raise NotImplementedError(self.method)
+
+    def score_params(self) -> dict:
+        return {"item_scores": self.item_scores,
+                "randomized": jnp.asarray(self.method == "random"),
+                "seed": jnp.uint32(0 if self.seed is None else self.seed)}
+
+    @staticmethod
+    def score_chunk(params: dict, chunk: TestChunk) -> jax.Array:
+        scores = params["item_scores"]
+        shape = (chunk.users.shape[0], scores.shape[0])
+        key = jax.random.fold_in(jax.random.key(params["seed"]),
+                                 chunk.start)
+        random_scores = jax.random.uniform(key, shape, scores.dtype)
+        return jnp.where(params["randomized"], random_scores,
+                         jnp.broadcast_to(scores[None, :], shape))

@@ -152,3 +152,16 @@ class CoffeeModel(RecommenderModel):
         predictions = np.asarray(jnp.argmax(scores, axis=-1))
         feedback_map = self.data.index.feedback.set_index("new")
         return feedback_map.loc[predictions, "old"].values
+
+    def get_holdout_slice(self, start, stop):
+        """Holdout (user_row, item) pairs for a contiguous user-row range
+        (reference ``models.py:1056-1064``)."""
+        userid = self.data.fields.userid
+        itemid = self.data.fields.itemid
+        holdout = self.data.test.holdout
+        user_sel = (holdout[userid] >= start) & (holdout[userid] < stop)
+        holdout_users = holdout.loc[user_sel, userid].values \
+            .astype(np.int64) - start
+        holdout_items = holdout.loc[user_sel, itemid].values \
+            .astype(np.int64)
+        return (holdout_users, holdout_items)

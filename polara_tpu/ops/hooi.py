@@ -165,3 +165,10 @@ def flatten_feedback_weights(w, flattener) -> np.ndarray:
     if callable(flattener):
         return np.asarray(flattener(wt))
     raise ValueError("Unrecognized flattener value")
+
+
+def tucker_als(idx, val, shape, mlrank, *args, **kwargs):
+    """Legacy alias for :func:`hooi` (reference keeps a duplicate
+    implementation in ``polara/lib/hosvd.py:27-89``; here it is the same
+    device solver)."""
+    return hooi(idx, val, shape, mlrank, *args, **kwargs)

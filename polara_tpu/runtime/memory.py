@@ -61,3 +61,14 @@ def plan_user_chunks(n_users: int, n_items: int,
 def pad_dim(n: int, lane_align: bool = True) -> int:
     """Pad a trailing dimension to the 128-lane grid (TPU tiling)."""
     return round_up(max(n, 1), _LANE if lane_align else _SUBLANE)
+
+
+def read_npz_from_url(url: str):
+    """Load an npz archive over HTTP (reference
+    ``polara/recommender/utils.py:56-60``); requires network egress."""
+    import io
+    from urllib.request import urlopen
+
+    import numpy as np
+    with urlopen(url) as response:
+        return np.load(io.BytesIO(response.read()))
