@@ -42,7 +42,8 @@ def main():
     log(f"synthetic ML-10M: {NNZ} events, {N_USERS}x{N_ITEMS}")
 
     from polara_tpu.ops.rsvd import randomized_svd
-    from polara_tpu.ops.scoring import ChunkedTestData, run_scoring
+    from polara_tpu.ops.scoring import (ChunkedTestData, run_scoring,
+                                        run_scoring_fused)
     from polara_tpu.ops.sparse import CooMatrix
 
     matrix = CooMatrix.from_numpy(rows, cols, vals, (N_USERS, N_ITEMS),
@@ -55,19 +56,30 @@ def main():
                                  n_items=N_ITEMS, budget_gb=4.0)
     log(f"chunk plan: {len(plan.chunks)} chunks x {plan.chunk_users} users")
 
-    def score_fn(params, chunk):
+    def proj_fn(params, chunk):
         v = params["item_factors"]
         contrib = chunk.vals[:, None].astype(v.dtype) * v[chunk.cols]
-        proj = jax.ops.segment_sum(contrib, chunk.rows,
+        return jax.ops.segment_sum(contrib, chunk.rows,
                                    num_segments=chunk.users.shape[0])
-        return proj @ v.T
+
+    def score_fn(params, chunk):
+        return proj_fn(params, chunk) @ params["item_factors"].T
+
+    use_fused = jax.default_backend() == "tpu"
+    log(f"scoring backend: {'pallas fused' if use_fused else 'xla'}")
 
     def build_and_score():
         result = randomized_svd(dense, RANK, n_iter=POWER_ITERS, seed=0,
                                 dtype=jnp.float32)
         v = jax.block_until_ready(result.v)
-        recs = run_scoring(plan, score_fn, {"item_factors": v}, topk=TOPK,
-                           filter_seen=True, n_valid_cols=N_ITEMS)
+        params = {"item_factors": v, "item_panel": v}
+        if use_fused:
+            recs = run_scoring_fused(plan, proj_fn, params, topk=TOPK,
+                                     filter_seen=True,
+                                     n_valid_cols=N_ITEMS)
+        else:
+            recs = run_scoring(plan, score_fn, params, topk=TOPK,
+                               filter_seen=True, n_valid_cols=N_ITEMS)
         return result, recs
 
     # warm-up (compilation) round

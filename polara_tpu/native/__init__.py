@@ -71,6 +71,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                              i64p, i64p, i64p, i64p]
         lib.row_unique_counts.argtypes = [i32p, i32p, ctypes.c_int64,
                                           ctypes.c_int32, i64p]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.pack_seen_bits.argtypes = [i32p, i32p, ctypes.c_int64,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       ctypes.c_int32, u32p]
         _lib = lib
     return _lib
 
@@ -168,4 +172,23 @@ def row_unique_counts(rows: np.ndarray, cols: np.ndarray,
     lib.row_unique_counts(_as_ptr(rows, ctypes.c_int32),
                           _as_ptr(cols, ctypes.c_int32), len(rows), n_rows,
                           _as_ptr(out, ctypes.c_int64))
+    return out
+
+
+def pack_seen_bits(rows: np.ndarray, cols: np.ndarray, n_rows: int,
+                   n_cols: int, tile_n: int = 4096) -> Optional[np.ndarray]:
+    """Native striped bitmask packing (see ops.pallas.pack_seen_bits);
+    returns None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pack_seen_bits"):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    w = tile_n // 32
+    n_tiles = max(1, -(-n_cols // tile_n))
+    out = np.zeros((n_rows, n_tiles * w), dtype=np.uint32)
+    lib.pack_seen_bits(_as_ptr(rows, ctypes.c_int32),
+                       _as_ptr(cols, ctypes.c_int32), len(rows), n_rows,
+                       tile_n, n_tiles * w,
+                       _as_ptr(out, ctypes.c_uint32))
     return out

@@ -136,4 +136,20 @@ void row_unique_counts(const int32_t* rows, const int32_t* cols,
     }
 }
 
+// Striped seen-bitmask packing for the Pallas fused scoring kernel
+// (polara_tpu/ops/pallas.py): item tile of `tile_n` columns, W=tile_n/32
+// words; tile-offset o lives in word (o % W) at bit (o / W).
+void pack_seen_bits(const int32_t* rows, const int32_t* cols, int64_t nnz,
+                    int32_t n_rows, int32_t tile_n, int32_t n_words,
+                    uint32_t* out) {
+    const int32_t w = tile_n / 32;
+    for (int64_t e = 0; e < nnz; ++e) {
+        const int32_t tile = cols[e] / tile_n;
+        const int32_t offset = cols[e] % tile_n;
+        const int64_t word =
+            static_cast<int64_t>(rows[e]) * n_words + tile * w + offset % w;
+        out[word] |= (1u << (offset / w));
+    }
+}
+
 }  // extern "C"

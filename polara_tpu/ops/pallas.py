@@ -198,7 +198,13 @@ def pack_seen_bits(rows: np.ndarray, cols: np.ndarray, n_rows: int,
     tile-offset ``o`` lives in word ``o % W`` at bit ``o // W`` — the
     stripe order produced by ``pltpu.repeat``'s tiled broadcast inside the
     kernel.  Must be packed with the same ``tile_n`` the kernel runs with.
+    Routes through the native C++ packer when available (the numpy
+    ``bitwise_or.at`` scatter is ~100x slower at ML-10M scale).
     """
+    from polara_tpu import native
+    packed = native.pack_seen_bits(rows, cols, n_rows, n_cols, tile_n)
+    if packed is not None:
+        return packed
     w = tile_n // 32
     n_tiles = max(1, -(-n_cols // tile_n))
     words = np.zeros((n_rows, n_tiles * w), dtype=np.uint32)

@@ -102,6 +102,26 @@ class ChunkedTestData:
         return cls(chunks=chunks, chunk_users=chunk_users,
                    n_users=n_users, n_items=n_items)
 
+    def seen_bits(self, chunk_idx: int, n_items: int) -> jax.Array:
+        """Packed seen-item bitmask for a chunk (cached — the test split
+        is fixed for a plan's lifetime, so packing happens once even
+        across model rebuilds)."""
+        cache = getattr(self, "_seen_bits_cache", None)
+        if cache is None:
+            cache = self._seen_bits_cache = {}
+        key = (chunk_idx, n_items)
+        bits = cache.get(key)
+        if bits is None:
+            from polara_tpu.ops.pallas import pack_seen_bits
+            chunk = self.chunks[chunk_idx]
+            valid = np.asarray(chunk.valid)
+            bits = jnp.asarray(pack_seen_bits(
+                np.asarray(chunk.rows)[valid],
+                np.asarray(chunk.cols)[valid],
+                self.chunk_users, n_items))
+            cache[key] = bits
+        return bits
+
     def profile_matrix(self, chunk: TestChunk,
                        n_items: Optional[int] = None,
                        binary: bool = False,
@@ -185,7 +205,7 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
     ``proj_fn(params, chunk) -> (chunk_users, r)`` produces the user-side
     panel; ``params["item_panel"]`` is the (n_items, r) item-side panel.
     """
-    from polara_tpu.ops.pallas import fused_score_topk, pack_seen_bits
+    from polara_tpu.ops.pallas import fused_score_topk
 
     panel = params["item_panel"]
     n_valid = n_valid_cols if n_valid_cols is not None else panel.shape[0]
@@ -193,11 +213,7 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
     parts = []
     for c, chunk in enumerate(data.chunks):
         proj = proj_jit(params, chunk)
-        rows = np.asarray(chunk.rows)
-        cols = np.asarray(chunk.cols)
-        valid = np.asarray(chunk.valid)
-        seen_bits = jnp.asarray(pack_seen_bits(
-            rows[valid], cols[valid], data.chunk_users, panel.shape[0]))
+        seen_bits = data.seen_bits(c, panel.shape[0])
         recs = fused_score_topk(proj, panel, seen_bits, topk,
                                 filter_seen=filter_seen,
                                 n_valid_cols=n_valid,

@@ -200,3 +200,32 @@ def test_event_notifier_weakref():
     del gone
     notifier.notify("ping")
     assert Listener.hits == 1
+
+
+def test_long_tail_mixin_restricts_holdout():
+    import numpy as np
+    from polara_tpu.data import LongTailMixin, RecommenderData
+    from polara_tpu.datasets import make_synthetic_interactions
+
+    class LongTailData(LongTailMixin, RecommenderData):
+        pass
+
+    events = make_synthetic_interactions(n_users=60, n_items=40,
+                                         n_events=1200,
+                                         popularity_skew=1.5, seed=0)
+    data = LongTailData(events, "userid", "movieid", "rating",
+                        long_tail_holdout=True, head_feedback_frac=0.3,
+                        seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+
+    popularity = events["movieid"].value_counts(normalize=True)
+    head_raw = set(popularity.index[popularity.cumsum() <= 0.3])
+    item_map = data.get_entity_index("movieid").set_index("new")["old"]
+    holdout_raw = set(item_map.loc[data.test.holdout["movieid"]].values)
+    assert not (holdout_raw & head_raw)
+    # head items are still present in training
+    training_raw = set(item_map.loc[data.training["movieid"]].values)
+    assert head_raw <= training_raw
