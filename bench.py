@@ -56,30 +56,36 @@ def main():
                                  n_items=N_ITEMS, budget_gb=4.0)
     log(f"chunk plan: {len(plan.chunks)} chunks x {plan.chunk_users} users")
 
-    def proj_fn(params, chunk):
+    def score_fn(params, chunk):
         v = params["item_factors"]
         contrib = chunk.vals[:, None].astype(v.dtype) * v[chunk.cols]
-        return jax.ops.segment_sum(contrib, chunk.rows,
+        proj = jax.ops.segment_sum(contrib, chunk.rows,
                                    num_segments=chunk.users.shape[0])
-
-    def score_fn(params, chunk):
-        return proj_fn(params, chunk) @ params["item_factors"].T
+        return proj @ v.T
 
     use_fused = jax.default_backend() == "tpu"
     log(f"scoring backend: {'pallas fused' if use_fused else 'xla'}")
 
+    if use_fused:
+        from polara_tpu.ops.pallas import fused_score_topk
+        seen_bits = plan.seen_bits(0, N_ITEMS)  # native pack, part of plan
+        proj_mm = jax.jit(lambda d, v: d @ v)
+
     def build_and_score():
         result = randomized_svd(dense, RANK, n_iter=POWER_ITERS, seed=0,
                                 dtype=jnp.float32)
-        v = jax.block_until_ready(result.v)
-        params = {"item_factors": v, "item_panel": v}
         if use_fused:
-            recs = run_scoring_fused(plan, proj_fn, params, topk=TOPK,
-                                     filter_seen=True,
-                                     n_valid_cols=N_ITEMS)
+            # test profiles == training rows: proj is one dense MXU
+            # matmul (the per-event segment-sum scatter is the slow path)
+            proj = proj_mm(dense, result.v)
+            recs = np.asarray(fused_score_topk(
+                proj, result.v, seen_bits, TOPK, filter_seen=True,
+                n_valid_cols=N_ITEMS))
         else:
-            recs = run_scoring(plan, score_fn, params, topk=TOPK,
-                               filter_seen=True, n_valid_cols=N_ITEMS)
+            v = jax.block_until_ready(result.v)
+            recs = run_scoring(plan, score_fn, {"item_factors": v},
+                               topk=TOPK, filter_seen=True,
+                               n_valid_cols=N_ITEMS)
         return result, recs
 
     # warm-up (compilation) round

@@ -47,6 +47,46 @@ class MFResult:
     rmse_history: List[float]
 
 
+def _rowwise_norm_optimizer(kind: str, lrate: float, gamma: float = 0.99,
+                            smoothing: float = 1e-6
+                            ) -> optax.GradientTransformation:
+    """Per-row gradient-norm adjusters of the reference
+    (``polara/lib/optimize.py:102-120``): adanorm (instant row-norm),
+    gnprop (EMA of squared row norms), gnpropz (cumulative).  State rows
+    only advance when the row received gradient this step — matching the
+    per-sample semantics of the reference's SGD sweeps under batching."""
+
+    def init(params):
+        if kind == "adanorm":
+            return ()
+        return jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape[:-1], p.dtype), params)
+
+    def update(grads, state, params=None):
+        del params
+        norms2 = jax.tree_util.tree_map(
+            lambda g: jnp.sum(g * g, axis=-1), grads)
+        if kind == "adanorm":
+            denom = norms2
+            new_state = state
+        else:
+            def advance(s, n2):
+                touched = n2 > 0
+                if kind == "gnprop":
+                    stepped = gamma * s + (1.0 - gamma) * n2
+                else:  # gnpropz
+                    stepped = s + n2
+                return jnp.where(touched, stepped, s)
+            new_state = jax.tree_util.tree_map(advance, state, norms2)
+            denom = new_state
+        updates = jax.tree_util.tree_map(
+            lambda g, d: -lrate * g / jnp.sqrt(smoothing + d)[..., None],
+            grads, denom)
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def _make_optimizer(name: str, lrate: float) -> optax.GradientTransformation:
     if name == "sgd":
         return optax.sgd(lrate)
@@ -56,8 +96,10 @@ def _make_optimizer(name: str, lrate: float) -> optax.GradientTransformation:
         return optax.rmsprop(lrate, decay=0.9, eps=1e-6)
     if name == "adam":
         return optax.adam(lrate, b1=0.9, b2=0.999, eps=1e-6)
-    raise ValueError(f"Unknown optimizer {name!r}; expected "
-                     "sgd/adagrad/rmsprop/adam")
+    if name in ("adanorm", "gnprop", "gnpropz"):
+        return _rowwise_norm_optimizer(name, lrate)
+    raise ValueError(f"Unknown optimizer {name!r}; expected sgd/adagrad/"
+                     "rmsprop/adam/adanorm/gnprop/gnpropz")
 
 
 def _batch_grads(p, q, rows, cols, vals, weight, lambd,

@@ -39,8 +39,35 @@ def _as_operator(a: Union[jax.Array, MatmulOperator]) -> MatmulOperator:
     return dense_operator(a)
 
 
-@jax.jit
-def _power_step(op: MatmulOperator, q: jax.Array
+def cholesky_qr2(y: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Tall-skinny QR via two rounds of Gram → Cholesky → triangular solve.
+
+    On TPU this is the right QR: the only large op is the (b × b) Gram
+    matmul (MXU), where Householder QR serializes over panels.  Two passes
+    restore orthogonality to working precision (CholeskyQR2, Fukaya et
+    al.); panels in subspace iteration are well-conditioned, keeping the
+    Gram's squared condition number harmless in f32.
+    """
+    def one_pass(a):
+        gram = a.T @ a
+        r = jnp.linalg.cholesky(gram).T          # upper triangular
+        q = jax.scipy.linalg.solve_triangular(r, a.T, lower=False,
+                                              trans="T").T
+        return q, r
+
+    q1, r1 = one_pass(y)
+    q2, r2 = one_pass(q1)
+    return q2, r2 @ r1
+
+
+def _panel_qr(a: jax.Array, method: str) -> Tuple[jax.Array, jax.Array]:
+    if method == "cholesky2":
+        return cholesky_qr2(a)
+    return jnp.linalg.qr(a)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _power_step(op: MatmulOperator, q: jax.Array, method: str = "householder"
                 ) -> Tuple[jax.Array, jax.Array]:
     """One two-sided orthogonalized power iteration; returns the refreshed
     range basis and current singular-value estimates.
@@ -48,9 +75,9 @@ def _power_step(op: MatmulOperator, q: jax.Array
     ``op`` is a pytree argument: its backing arrays are traced operands,
     so the compiled step is reused across rebuilds and nothing lands in
     the program as a constant."""
-    z, r = jnp.linalg.qr(op.rmm(q))
+    z, r = _panel_qr(op.rmm(q), method)
     s_est = jnp.abs(jnp.diagonal(r))
-    q, _ = jnp.linalg.qr(op.mm(z))
+    q, _ = _panel_qr(op.mm(z), method)
     return q, s_est
 
 
@@ -67,7 +94,8 @@ def randomized_svd(a: Union[jax.Array, MatmulOperator], k: int,
                    n_iter: int = 8, tol: Optional[float] = None,
                    max_iter: int = 100,
                    seed: Optional[int] = 0,
-                   dtype: Optional[jnp.dtype] = None) -> SvdResult:
+                   dtype: Optional[jnp.dtype] = None,
+                   qr_method: Optional[str] = None) -> SvdResult:
     """Rank-k truncated SVD.
 
     With ``tol`` set, power iterations continue (up to ``max_iter``) until
@@ -83,18 +111,22 @@ def randomized_svd(a: Union[jax.Array, MatmulOperator], k: int,
         raise ValueError(f"rank {k} out of range for shape {op.shape}")
     block = min(k + (oversample if oversample is not None else max(10, k)),
                 min(m, n))
+    if qr_method is None:
+        qr_method = ("cholesky2" if jax.default_backend() == "tpu"
+                     else "householder")
 
     key = jax.random.key(0 if seed is None else seed)
     omega = jax.random.normal(key, (n, block), dtype=dtype)
-    q, _ = jnp.linalg.qr(op.mm(omega))
+    q, _ = jax.jit(_panel_qr, static_argnames="method")(op.mm(omega),
+                                                        qr_method)
 
     if tol is None:
         for _ in range(n_iter):
-            q, _ = _power_step(op, q)
+            q, _ = _power_step(op, q, qr_method)
     else:
         s_prev = None
         for _ in range(max_iter):
-            q, s_est = _power_step(op, q)
+            q, s_est = _power_step(op, q, qr_method)
             s_top = s_est[:k]
             if s_prev is not None:
                 denom = jnp.maximum(jnp.abs(s_top), 1e-30)

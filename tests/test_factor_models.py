@@ -216,3 +216,23 @@ class TestCoffeeModel:
         predicted = model.predict_feedback()
         observed = set(prepared_data.training["rating"].unique())
         assert set(np.unique(predicted)) <= observed
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("optimizer", ["adanorm", "gnprop", "gnpropz"])
+def test_rowwise_norm_optimizers_learn(optimizer):
+    """Reference gradient adjusters (optimize.py:102-120) reduce RMSE."""
+    import numpy as np
+    from polara_tpu.ops.factorize import mf_train
+    rs = np.random.RandomState(0)
+    n_u, n_i = 40, 30
+    dense = (rs.rand(n_u, n_i) < 0.3) * rs.randint(1, 6, (n_u, n_i))
+    rows, cols = np.nonzero(dense)
+    vals = dense[rows, cols].astype(float)
+    hist = []
+    mf_train(rows, cols, vals, (n_u, n_i), 6, lrate=0.05, lambd=0.01,
+             num_epochs=15, tol=0.0, batch_size=256, optimizer=optimizer,
+             seed=0, iter_errors=hist)
+    assert hist[-1] < hist[0]

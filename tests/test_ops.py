@@ -164,3 +164,30 @@ def test_inner_product_at():
                                       jnp.asarray(ui), jnp.asarray(vi)))
     expect = np.einsum("btk,btk->bt", u[ui], v[vi])
     np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+class TestCholeskyQr2:
+    def test_cholesky_qr2_orthogonal(self):
+        from polara_tpu.ops.rsvd import cholesky_qr2
+        rs = np.random.RandomState(0)
+        a = jnp.asarray(rs.randn(300, 24), jnp.float64)
+        q, r = cholesky_qr2(a)
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(24),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(q @ r), np.asarray(a),
+                                   rtol=1e-10)
+        # r upper triangular
+        assert np.allclose(np.tril(np.asarray(r), -1), 0)
+
+    def test_rsvd_cholesky2_matches_scipy(self):
+        """The TPU-default QR method meets the same 1e-6 subspace target."""
+        csr = random_rating_matrix(200, 150, density=0.3)
+        k = 12
+        u_ref, s_ref, vt_ref = svds(csr.astype(np.float64), k=k)
+        dense = jnp.asarray(csr.toarray(), dtype=jnp.float64)
+        res = randomized_svd(dense, k, tol=1e-12, max_iter=300, seed=3,
+                             dtype=jnp.float64, qr_method="cholesky2")
+        np.testing.assert_allclose(np.asarray(res.s), s_ref[::-1],
+                                   rtol=1e-9)
+        assert principal_angles_max_sin(res.v,
+                                        jnp.asarray(vt_ref[::-1].T)) < 1e-6
