@@ -127,3 +127,56 @@ def full_train_step(r_train: jax.Array, omega: jax.Array,
     return TrainEvalStepResult(factors=factors,
                                recommendations=recs,
                                hit_count=jnp.sum(hits))
+
+
+def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
+                     alpha: float = 1.0, weight="log2",
+                     epsilon: float = 1.0, reg: float = 0.01,
+                     num_epochs: int = 15, seed: Optional[int] = 0,
+                     batch_rows: int = 64):
+    """Confidence-weighted ALS over a row-sharded ratings matrix.
+
+    Each half-sweep is embarrassingly parallel over its row axis (the
+    fixed-side factors replicate, the per-row normal systems are local);
+    the only collectives are the all-gather of the solved panel after each
+    half-sweep and a one-time transpose resharding of the confidence
+    matrix.  Numerically identical to the single-chip
+    :func:`polara_tpu.ops.implicit.ials_train` (per-row solves do not
+    depend on the row partitioning).
+    """
+    import math
+
+    from jax.experimental.shard_map import shard_map
+
+    from polara_tpu.ops.implicit import (ImplicitFactors, confidence,
+                                         ials_half_sweep)
+
+    users_axis = mesh.axis_names[0]
+    row_sharding = NamedSharding(mesh, P(users_axis, None))
+    repl = NamedSharding(mesh, P())
+
+    cm1 = confidence(dense_ratings.astype(jnp.float32), alpha, weight,
+                     epsilon)
+    n_users, n_items = cm1.shape
+    cm1 = jax.device_put(cm1, row_sharding)
+    cm1_t = jax.device_put(cm1.T, row_sharding)   # one-time resharding
+
+    key = jax.random.key(0 if seed is None else seed)
+    item_factors = jax.device_put(
+        jax.random.normal(key, (n_items, rank), jnp.float32)
+        * (1.0 / math.sqrt(rank)), repl)
+
+    def gathered_half_sweep(cm1_local, other):
+        x_local = ials_half_sweep(cm1_local, other, reg, batch_rows)
+        return jax.lax.all_gather(x_local, users_axis, axis=0, tiled=True)
+
+    half = jax.jit(shard_map(
+        gathered_half_sweep, mesh=mesh,
+        in_specs=(P(users_axis, None), P()), out_specs=P(),
+        check_rep=False))
+
+    user_factors = None
+    for _ in range(num_epochs):
+        user_factors = half(cm1, item_factors)
+        item_factors = half(cm1_t, user_factors)
+    return ImplicitFactors(user=user_factors, item=item_factors)

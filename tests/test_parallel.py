@@ -71,3 +71,30 @@ def test_full_train_step_runs_sharded(mesh):
     for u in range(n_users):
         for item in recs[u]:
             assert (u, int(item)) not in seen_set
+
+
+def test_distributed_ials_matches_single_device():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from polara_tpu.ops.implicit import ials_train
+    from polara_tpu.parallel.distributed import distributed_ials
+    from polara_tpu.runtime.mesh import make_mesh
+
+    rs = np.random.RandomState(0)
+    n_users, n_items = 64, 40
+    dense = jnp.asarray(
+        (rs.rand(n_users, n_items) < 0.3) * rs.randint(1, 6,
+                                                       (n_users, n_items)),
+        jnp.float32)
+
+    mesh = make_mesh(n_devices=8, axes=("users",), shape=(8,))
+    dist = distributed_ials(dense, rank=5, mesh=mesh, num_epochs=4,
+                            seed=0, batch_rows=8)
+    single = ials_train(dense, rank=5, num_epochs=4, seed=0, batch_rows=8)
+    np.testing.assert_allclose(np.asarray(dist.user),
+                               np.asarray(single.user), rtol=2e-3,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dist.item),
+                               np.asarray(single.item), rtol=2e-3,
+                               atol=2e-5)
