@@ -44,32 +44,38 @@ def _left_singular_vectors(m: jax.Array, k: int) -> Tuple[jax.Array,
 
 def _entity_feedback_sums(seg_entity: jax.Array, fb: jax.Array,
                           val: jax.Array, factor_rows: jax.Array,
-                          n_entity: int, n_fb: int) -> jax.Array:
+                          n_entity: int, n_fb: int,
+                          axis_name: Optional[str] = None) -> jax.Array:
     """``A[e, f, :] = sum val * factor_rows`` grouped by (entity, feedback).
-    One fused gather + segment_sum; the workhorse of every ttm."""
+    One fused gather + segment_sum; the workhorse of every ttm.  With
+    ``axis_name`` the events are sharded over that mesh axis and the
+    partial sums psum into the replicated contraction."""
     joint = seg_entity * n_fb + fb
     flat = jax.ops.segment_sum(val[:, None] * factor_rows, joint,
                                num_segments=n_entity * n_fb)
+    if axis_name is not None:
+        flat = jax.lax.psum(flat, axis_name)
     return flat.reshape(n_entity, n_fb, factor_rows.shape[1])
 
 
-@partial(jax.jit, static_argnames=("shape", "core_shape"))
-def _hooi_sweep(i0, i1, i2, val, u0, u1, u2, shape, core_shape):
+@partial(jax.jit, static_argnames=("shape", "core_shape", "axis_name"))
+def _hooi_sweep(i0, i1, i2, val, u0, u1, u2, shape, core_shape,
+                axis_name: Optional[str] = None):
     n0, n1, n2 = shape
     r0, r1, r2 = core_shape
 
     # mode-0 update: unfold = A x2 u2, A[u,f,:] = sum val*u1[i1]
-    a = _entity_feedback_sums(i0, i2, val, u1[i1], n0, n2)
+    a = _entity_feedback_sums(i0, i2, val, u1[i1], n0, n2, axis_name)
     m0 = jnp.einsum("ufa,fs->uas", a, u2).reshape(n0, -1)
     u0, _ = _left_singular_vectors(m0, r0)
 
     # mode-1 update with the refreshed u0
-    b = _entity_feedback_sums(i1, i2, val, u0[i0], n1, n2)
+    b = _entity_feedback_sums(i1, i2, val, u0[i0], n1, n2, axis_name)
     m1 = jnp.einsum("ifb,fs->ibs", b, u2).reshape(n1, -1)
     u1, _ = _left_singular_vectors(m1, r1)
 
     # mode-2 update with refreshed u0, u1; also yields the core
-    a2 = _entity_feedback_sums(i0, i2, val, u1[i1], n0, n2)
+    a2 = _entity_feedback_sums(i0, i2, val, u1[i1], n0, n2, axis_name)
     m2 = jnp.einsum("ufa,ub->fab", a2, u0).reshape(n2, -1)
     uu, s, _ = jnp.linalg.svd(m2, full_matrices=False)  # n2 is tiny
     u2 = uu[:, :r2]

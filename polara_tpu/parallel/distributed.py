@@ -180,3 +180,65 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
         user_factors = half(cm1, item_factors)
         item_factors = half(cm1_t, user_factors)
     return ImplicitFactors(user=user_factors, item=item_factors)
+
+
+def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
+                     mesh: Mesh, num_iters: int = 25,
+                     growth_tol: float = 1e-4, seed: Optional[int] = None,
+                     dtype=jnp.float32, verbose: bool = False):
+    """HOOI with the tensor nonzeros sharded over the mesh's first axis.
+
+    The event contractions (the O(nnz·r) work) run shard-local and psum
+    their small (n_mode × n_fb × r) outputs; the skinny factor updates
+    replicate — they are panel-sized.  Event padding uses zero values, so
+    partitioning does not change the math (up to float reduction order).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from polara_tpu.ops.hooi import HooiResult, _hooi_sweep
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    n0, n1, n2 = (int(s) for s in shape)
+    r0, r1, r2 = core_shape
+
+    nnz = len(val)
+    pad = (-nnz) % n_dev
+    def shard(arr, fill):
+        arr = np.concatenate([np.asarray(arr),
+                              np.full(pad, fill, np.asarray(arr).dtype)])
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P(axis)))
+
+    i0 = shard(idx[:, 0].astype(np.int32), 0)
+    i1 = shard(idx[:, 1].astype(np.int32), 0)
+    i2 = shard(idx[:, 2].astype(np.int32), 0)
+    vals = shard(np.asarray(val, np.float64).astype(dtype), 0)
+
+    key = jax.random.key(0 if seed is None else seed)
+    k1, k2 = jax.random.split(key)
+    u1 = jnp.linalg.qr(jax.random.uniform(k1, (n1, r1), dtype))[0]
+    u2 = jnp.linalg.qr(jax.random.uniform(k2, (n2, r2), dtype))[0]
+    u0 = jnp.zeros((n0, r0), dtype)
+
+    sweep_local = partial(_hooi_sweep.__wrapped__, shape=(n0, n1, n2),
+                          core_shape=tuple(core_shape), axis_name=axis)
+    sweep = jax.jit(shard_map(
+        sweep_local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()), check_rep=False))
+
+    norm_old = 0.0
+    history = []
+    core = jnp.zeros(core_shape, dtype)
+    for step in range(num_iters):
+        u0, u1, u2, core, core_norm = sweep(i0, i1, i2, vals, u0, u1, u2)
+        norm_new = float(core_norm)
+        growth = (norm_new - norm_old) / norm_new
+        norm_old = norm_new
+        history.append(growth)
+        if verbose:
+            print(f"distributed HOOI step {step + 1}: growth {growth:.6f}")
+        if growth < growth_tol:
+            break
+    return HooiResult(u0=u0, u1=u1, u2=u2, core=core,
+                      growth_history=tuple(history))

@@ -98,3 +98,33 @@ def test_distributed_ials_matches_single_device():
     np.testing.assert_allclose(np.asarray(dist.item),
                                np.asarray(single.item), rtol=2e-3,
                                atol=2e-5)
+
+
+def test_distributed_hooi_matches_single_device():
+    import numpy as np
+    import jax.numpy as jnp
+    from polara_tpu.ops.hooi import hooi
+    from polara_tpu.ops.rsvd import principal_angles_max_sin
+    from polara_tpu.parallel.distributed import distributed_hooi
+    from polara_tpu.runtime.mesh import make_mesh
+
+    rs = np.random.RandomState(0)
+    nnz = 3000
+    idx = np.stack([rs.randint(0, 50, nnz), rs.randint(0, 30, nnz),
+                    rs.randint(0, 5, nnz)], axis=1)
+    idx = np.unique(idx, axis=0)
+    val = np.ones(len(idx))
+    shape, core_shape = (50, 30, 5), (6, 5, 2)
+
+    mesh = make_mesh(n_devices=8, axes=("events",), shape=(8,))
+    dist = distributed_hooi(idx, val, shape, core_shape, mesh,
+                            num_iters=6, growth_tol=0.0, seed=0,
+                            dtype=jnp.float64)
+    single = hooi(idx, val, shape, core_shape, num_iters=6,
+                  growth_tol=0.0, seed=0, dtype=jnp.float64)
+    for a, b in [(dist.u0, single.u0), (dist.u1, single.u1),
+                 (dist.u2, single.u2)]:
+        assert principal_angles_max_sin(jnp.asarray(a),
+                                        jnp.asarray(b)) < 1e-6
+    np.testing.assert_allclose(np.asarray(dist.core),
+                               np.asarray(single.core), atol=1e-6)
