@@ -249,3 +249,32 @@ def inner_product_at(u: jax.Array, v: jax.Array,
     rank axis on the VPU in one fused pass.
     """
     return jnp.einsum("btk,btk->bt", u[ui], v[vi])
+
+
+def inverse_permutation(p: np.ndarray) -> np.ndarray:
+    """Inverse of a permutation vector (reference ``sparse.py:172-175``)."""
+    p = np.asarray(p)
+    out = np.empty_like(p)
+    out[p] = np.arange(len(p))
+    return out
+
+
+def unfold_tensor_coordinates(index, shape, mode: int):
+    """Mode-n unfolding of 3-tensor COO coordinates (reference
+    ``sparse.py:178-187``): returns (row, col) indices of the unfolded
+    matrix plus its shape.  ``index`` is (nnz, 3) or a 3-tuple of arrays.
+
+    The device HOOI path never materializes unfoldings (see
+    :mod:`polara_tpu.ops.hooi`); this helper serves host-side analysis
+    and parity checks.
+    """
+    if isinstance(index, tuple):
+        i0, i1, i2 = (np.asarray(x) for x in index)
+    else:
+        index = np.asarray(index)
+        i0, i1, i2 = index[:, 0], index[:, 1], index[:, 2]
+    modes = [(i0, shape[0]), (i1, shape[1]), (i2, shape[2])]
+    row_idx, n_rows = modes[mode]
+    (ia, na), (ib, nb) = [modes[m] for m in range(3) if m != mode]
+    col_idx = ia + ib * na
+    return (row_idx, col_idx), (n_rows, na * nb)
