@@ -28,8 +28,15 @@ def compute_graph_laplacian(edges, index):
         all_edges.add((a, b))
         all_edges.add((b, a))
 
-    rows, cols = zip(*all_edges)
-    adjacency = sp.csr_matrix((np.ones(len(all_edges)), (rows, cols)))
+    n = len(index)
+    if all_edges:
+        rows, cols = zip(*all_edges)
+    else:
+        rows, cols = (), ()
+    # pin the shape so entities without edges keep their rows aligned
+    # with the entity index (isolated nodes get zero Laplacian rows)
+    adjacency = sp.csr_matrix((np.ones(len(all_edges)), (rows, cols)),
+                              shape=(n, n))
     assert (adjacency.diagonal() == 0).all()
     return graph_laplacian(adjacency).tocsr(), adjacency
 

@@ -65,6 +65,7 @@ class RecommenderModel:
         self.data = recommender_data
         self._recommendations: Optional[np.ndarray] = None
         self._test_plan: Optional[ChunkedTestData] = None
+        self._test_users: Optional[np.ndarray] = None
         self.method = "ABC"
 
         self._topk = defaults.get_default("topk")
@@ -213,6 +214,20 @@ class RecommenderModel:
     # streaming backend; None means dense-score models (XLA path only).
     proj_chunk = None
 
+    @classmethod
+    def _fused_scoring_capable(cls) -> bool:
+        """The fused backend is sound only when the *effective*
+        ``score_chunk`` and ``proj_chunk`` were declared together: a
+        subclass overriding just ``score_chunk`` must not be silently
+        bypassed by an inherited ``proj_chunk``."""
+        for klass in cls.__mro__:
+            has_score = "score_chunk" in klass.__dict__
+            has_proj = "proj_chunk" in klass.__dict__
+            if has_score or has_proj:
+                return (has_score and has_proj
+                        and klass.__dict__["proj_chunk"] is not None)
+        return False
+
     def score_params(self) -> dict:
         """Pytree of device arrays consumed by ``score_chunk``."""
         raise NotImplementedError("implemented by concrete models")
@@ -220,13 +235,14 @@ class RecommenderModel:
     def get_recommendations(self) -> np.ndarray:
         if self.verify_integrity:
             self.verify_data_integrity()
-        plan, test_users = self._build_test_plan()
-        self._test_plan = plan
+        if self._test_plan is None:  # survives rebuilds; reset on data events
+            self._test_plan, self._test_users = self._build_test_plan()
+        plan, test_users = self._test_plan, self._test_users
         params = dict(self.score_params())
         params["test_users"] = jnp.asarray(test_users, jnp.int32)
 
         mode = defaults.get_default("pallas_scoring")
-        usable = type(self).proj_chunk is not None and self.topk <= 128 \
+        usable = self._fused_scoring_capable() and self.topk <= 128 \
             and "item_panel" in params
         on_tpu = jax.default_backend() == "tpu"
         if usable and (mode is True or (mode == "auto" and on_tpu)):
@@ -410,6 +426,10 @@ class RecommenderModel:
         self._recommendations = None
         self._test_plan = None
         self._is_ready = True
+        # sync the rank attribute with what was actually loaded, so
+        # sweeps/logs keyed on model.rank reflect the live factors
+        if "rank" in meta and hasattr(self, "_rank"):
+            self._rank = int(meta["rank"])
         return meta
 
     # --- invariants -----------------------------------------------------------

@@ -30,6 +30,17 @@ from polara_tpu.ops.topk import top_k_indices
 from polara_tpu.preprocessing.features import stack_features
 
 
+def _pad_user_columns(recs: np.ndarray, topk: int) -> np.ndarray:
+    """Pad recommendation rows to the (n_cold, topk) contract when the
+    candidate pool is smaller than topk (PAD_CONST like the top-k ops)."""
+    from polara_tpu.ops.topk import PAD_CONST
+    if recs.shape[1] >= topk:
+        return recs[:, :topk]
+    pad = np.full((recs.shape[0], topk - recs.shape[1]), PAD_CONST,
+                  dtype=recs.dtype)
+    return np.concatenate([recs, pad], axis=1)
+
+
 class ItemColdStartEvaluationMixin:
     """Flip prediction key/target; nothing is 'seen' for a cold item
     (reference ``coldstart/models.py:13-18``)."""
@@ -89,9 +100,10 @@ class RandomModelItemColdStart(ItemColdStartEvaluationMixin,
         if candidates is None:
             candidates = self.data.index.userid.training["new"].values
         n_cold = self.data.index.itemid.cold_start.shape[0]
+        take = min(self.topk, len(candidates))
         keys = self._random_state.rand(n_cold, len(candidates))
-        top = np.argpartition(keys, self.topk - 1, axis=1)[:, :self.topk]
-        return candidates[top]
+        top = np.argpartition(keys, take - 1, axis=1)[:, :take]
+        return _pad_user_columns(candidates[top], self.topk)
 
 
 class PopularityModelItemColdStart(ItemColdStartEvaluationMixin,
@@ -114,7 +126,8 @@ class PopularityModelItemColdStart(ItemColdStartEvaluationMixin,
     def get_recommendations(self):
         n_cold = self.data.index.itemid.cold_start.shape[0]
         top_users = self.user_scores.index[:self.topk].values
-        return np.broadcast_to(top_users, (n_cold, len(top_users))).copy()
+        recs = np.broadcast_to(top_users, (n_cold, len(top_users))).copy()
+        return _pad_user_columns(recs, self.topk)
 
 
 class SimilarityAggregationItemColdStart(ItemColdStartEvaluationMixin,

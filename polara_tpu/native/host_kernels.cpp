@@ -89,6 +89,10 @@ void split_top_continuous(const int64_t* tasks, const double* priorities,
     std::unordered_map<int64_t, int64_t> top_of;
     std::unordered_set<int64_t> remaining(tasks, tasks + n);
     top_of.reserve(remaining.size() * 2);
+    // first-occurrence order of tasks, to emit tops exactly like the
+    // Python dict-insertion-ordered implementation
+    std::vector<int64_t> task_order;
+    task_order.reserve(remaining.size());
 
     int64_t n_nonseq = 0;
     int64_t consumed = 0;
@@ -101,13 +105,14 @@ void split_top_continuous(const int64_t* tasks, const double* priorities,
             it->second = idx;
         } else {
             top_of.emplace(task, idx);
+            task_order.push_back(task);
             remaining.erase(task);
         }
     }
 
     int64_t n_top = 0;
-    for (const auto& kv : top_of) {
-        top_idx[n_top++] = kv.second;
+    for (const int64_t task : task_order) {
+        top_idx[n_top++] = top_of[task];
     }
     int64_t n_low = 0;
     for (int64_t i = consumed; i < n; ++i) {

@@ -39,17 +39,25 @@ def _as_operator(a: Union[jax.Array, MatmulOperator]) -> MatmulOperator:
     return dense_operator(a)
 
 
-def cholesky_qr2(y: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def cholesky_qr2(y: jax.Array, eps: float = 0.0) -> Tuple[jax.Array,
+                                                          jax.Array]:
     """Tall-skinny QR via two rounds of Gram → Cholesky → triangular solve.
 
     On TPU this is the right QR: the only large op is the (b × b) Gram
     matmul (MXU), where Householder QR serializes over panels.  Two passes
     restore orthogonality to working precision (CholeskyQR2, Fukaya et
     al.); panels in subspace iteration are well-conditioned, keeping the
-    Gram's squared condition number harmless in f32.
+    Gram's squared condition number harmless in f32.  ``eps`` adds a
+    diagonal jitter for near-rank-deficient panels.
+
+    Under row sharding (see :mod:`polara_tpu.parallel.distributed`) the
+    Gram reduction is the only cross-shard communication — GSPMD lowers it
+    to one (b, b) psum per pass.
     """
     def one_pass(a):
         gram = a.T @ a
+        if eps:
+            gram = gram + eps * jnp.eye(gram.shape[0], dtype=gram.dtype)
         r = jnp.linalg.cholesky(gram).T          # upper triangular
         q = jax.scipy.linalg.solve_triangular(r, a.T, lower=False,
                                               trans="T").T
@@ -64,6 +72,9 @@ def _panel_qr(a: jax.Array, method: str) -> Tuple[jax.Array, jax.Array]:
     if method == "cholesky2":
         return cholesky_qr2(a)
     return jnp.linalg.qr(a)
+
+
+_panel_qr_jit = jax.jit(_panel_qr, static_argnames="method")
 
 
 @partial(jax.jit, static_argnames=("method",))
@@ -117,8 +128,7 @@ def randomized_svd(a: Union[jax.Array, MatmulOperator], k: int,
 
     key = jax.random.key(0 if seed is None else seed)
     omega = jax.random.normal(key, (n, block), dtype=dtype)
-    q, _ = jax.jit(_panel_qr, static_argnames="method")(op.mm(omega),
-                                                        qr_method)
+    q, _ = _panel_qr_jit(op.mm(omega), qr_method)
 
     if tol is None:
         for _ in range(n_iter):

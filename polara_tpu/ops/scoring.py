@@ -224,12 +224,12 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
     return np.concatenate(parts, axis=0)
 
 
-_proj_cache: dict = {}
-
-
 def compiled_proj(proj_fn: ScoreFn):
-    step = _proj_cache.get(proj_fn)
+    """Memoized jit of a projection function — same function-identity
+    caching contract as :func:`compiled_step`, sharing its cache."""
+    key = (proj_fn, "proj")
+    step = _step_cache.get(key)
     if step is None:
         step = jax.jit(proj_fn)
-        _proj_cache[proj_fn] = step
+        _step_cache[key] = step
     return step

@@ -27,29 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from polara_tpu.ops.rsvd import SvdResult
+from polara_tpu.ops.rsvd import SvdResult, cholesky_qr2
 from polara_tpu.ops.topk import mask_and_topk
-
-
-def cholesky_qr2(y: jax.Array, eps: float = 0.0) -> Tuple[jax.Array,
-                                                          jax.Array]:
-    """Orthonormalize the columns of a (possibly row-sharded) tall matrix.
-
-    Returns (Q, R) with ``y = Q R``.  The Gram matrix reduction is the only
-    cross-shard communication; under GSPMD it lowers to one psum of a
-    (b, b) block per pass.
-    """
-    def one_pass(a):
-        gram = a.T @ a
-        if eps:
-            gram = gram + eps * jnp.eye(gram.shape[0], dtype=gram.dtype)
-        r = jnp.linalg.cholesky(gram).T  # upper triangular
-        q = jax.scipy.linalg.solve_triangular(r.T, a.T, lower=True).T
-        return q, r
-
-    q1, r1 = one_pass(y)
-    q2, r2 = one_pass(q1)
-    return q2, r2 @ r1
 
 
 @partial(jax.jit, static_argnames=("n_iter", "k"))

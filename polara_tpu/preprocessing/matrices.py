@@ -117,7 +117,10 @@ def rescale_matrix(matrix, scaling: float, axis: int, binary: bool = True,
         norm = np.sqrt(matrix.getnnz(axis=axis)).astype(np.float64)
     else:
         norm = spnorm(matrix, axis=axis, ord=2)
-    scaling_values = np.power(norm, scaling - 1, where=norm != 0)
+    # zero-norm rows/cols scale by 1 (no stored entries to rescale anyway;
+    # np.power(where=...) without out= would leave garbage there)
+    scaling_values = np.power(norm, scaling - 1, where=norm != 0,
+                              out=np.ones_like(norm))
 
     scaling_matrix = diags(scaling_values)
     if axis == 0:  # scale columns

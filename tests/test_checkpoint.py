@@ -75,3 +75,26 @@ def test_suppress_stdout(capsys):
     captured = capsys.readouterr()
     assert "hidden" not in captured.out
     assert "visible" in captured.out
+
+
+def test_load_syncs_rank():
+    events = make_synthetic_interactions(n_users=30, n_items=20,
+                                         n_events=400, seed=2)
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+    model = SVDModel(data)
+    model.rank = 8
+    model.verbose = False
+    model.build()
+    path = "/tmp/_rank_sync.npz"
+    model.save(path)
+
+    fresh = SVDModel(data)  # default rank 10
+    fresh.verbose = False
+    fresh.load(path)
+    assert fresh.rank == 8
+    assert fresh.factors["movieid"].shape[1] == 8

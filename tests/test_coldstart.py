@@ -196,3 +196,21 @@ def test_cold_beats_random(cold_data):
     svd_score = svd.evaluate("relevance")
     rnd_score = rnd.evaluate("relevance")
     assert svd_score.recall >= rnd_score.recall
+
+
+def test_small_candidate_pool_pads_to_topk(cold_data):
+    cold_data.test_sample = 4  # fewer representative users than topk
+    cold_data.update()
+    n_cold = cold_data.index.itemid.cold_start.shape[0]
+
+    rnd = RandomModelItemColdStart(cold_data, seed=0)
+    rnd.topk = 10
+    recs = rnd.recommendations
+    assert recs.shape == (n_cold, 10)
+    assert (recs[:, 4:] == -1).all()
+
+    mp = PopularityModelItemColdStart(cold_data)
+    mp.topk = 10
+    recs = mp.recommendations
+    assert recs.shape == (n_cold, 10)
+    assert (recs[:, 4:] == -1).all()

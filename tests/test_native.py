@@ -84,3 +84,16 @@ def test_row_unique_counts():
     cols = np.array([1, 1, 3, 0, 4], dtype=np.int32)
     out = native.row_unique_counts(rows, cols, 4)
     np.testing.assert_array_equal(out, [2, 0, 2, 0])
+
+
+def test_split_top_continuous_native_exact_order():
+    """Native and Python paths return identical index *sequences*, not
+    just identical sets — downstream frame row order must not depend on
+    toolchain availability."""
+    rs = np.random.RandomState(7)
+    tasks = rs.randint(0, 50, 2000).astype(np.int64)
+    priorities = rs.rand(2000)
+    native_out = native.split_top_continuous(tasks, priorities)
+    python_out = py_split(tasks, priorities)
+    for a, b in zip(native_out, python_out):
+        assert list(a) == list(b)

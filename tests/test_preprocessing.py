@@ -150,7 +150,8 @@ def test_rescale_matrix_matches_manual():
     scaled, values = pmx.rescale_matrix(matrix, 0.4, axis=0,
                                         return_scaling_values=True)
     nnz = matrix.getnnz(axis=0)
-    expect = np.power(np.sqrt(nnz), -0.6, where=nnz > 0)
+    expect = np.power(np.sqrt(nnz), -0.6, where=nnz > 0,
+                      out=np.ones(len(nnz)))
     np.testing.assert_allclose(values, expect)
     np.testing.assert_allclose(scaled.toarray(),
                                matrix.toarray() * expect[None, :])
