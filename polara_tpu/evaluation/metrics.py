@@ -227,3 +227,65 @@ def convert_scores_to_series(metrics, name: str = "scores") -> pd.Series:
         records.extend(tup._asdict().items())
     frame = pd.DataFrame.from_records(records, columns=["metric", name])
     return frame.set_index("metric")[name]
+
+
+# --------------------------------------------------------------------------
+# Reference-style per-family accessors (evaluation.py:101-253).  The
+# reference passes pre-assembled scipy CSR matrices; here each accessor is
+# a thin view over the single fused metrics pass, taking the raw
+# (recommendations, holdout) pair instead.
+# --------------------------------------------------------------------------
+
+def _family(recommendations, holdout, key, target, **kwargs):
+    return compute_metrics(recommendations, holdout, key, target, **kwargs)
+
+
+def get_hr_score(recommendations, holdout, key, target, **kwargs):
+    return SimpleRelevance(hr=_family(recommendations, holdout, key,
+                                      target, **kwargs)["hr"])
+
+
+def get_rr_scores(recommendations, holdout, key, target, **kwargs):
+    stats = _family(recommendations, holdout, key, target, **kwargs)
+    return SimpleRanking(arhr=stats["arhr"], mrr=stats["mrr"])
+
+
+def get_arhr_score(recommendations, holdout, key, target, **kwargs):
+    return get_rr_scores(recommendations, holdout, key, target,
+                         **kwargs).arhr
+
+
+def get_mrr_score(recommendations, holdout, key, target, **kwargs):
+    return get_rr_scores(recommendations, holdout, key, target,
+                         **kwargs).mrr
+
+
+def get_map_score(recommendations, holdout, key, target, **kwargs):
+    return _family(recommendations, holdout, key, target, **kwargs)["map"]
+
+
+def get_ndcg_score(recommendations, holdout, key, target, **kwargs):
+    return _family(recommendations, holdout, key, target, **kwargs)["ndcg"]
+
+
+def get_ndcl_score(recommendations, holdout, key, target, **kwargs):
+    return _family(recommendations, holdout, key, target, **kwargs)["ndcl"]
+
+
+def get_ranking_scores(recommendations, holdout, key, target, **kwargs):
+    stats = _family(recommendations, holdout, key, target, **kwargs)
+    return Ranking(ndcg=stats["ndcg"], ndcl=stats["ndcl"],
+                   map=stats["map"], arhr=stats["arhr"])
+
+
+def get_relevance_scores(recommendations, holdout, key, target, **kwargs):
+    stats = _family(recommendations, holdout, key, target, **kwargs)
+    return Relevance(precision=stats["precision"], recall=stats["recall"],
+                     fallout=stats["fallout"], specifity=stats["specifity"],
+                     miss_rate=stats["miss_rate"])
+
+
+def get_hits(recommendations, holdout, key, target, **kwargs):
+    stats = _family(recommendations, holdout, key, target, **kwargs)
+    return Hits(true_positive=stats["tp"], false_positive=stats["fp"],
+                true_negative=stats["tn"], false_negative=stats["fn"])
