@@ -162,6 +162,25 @@ class RecommenderModel:
             return dense_from_coo(idx, val, shp, dtype=dtype)
         return coo_from_arrays(idx, val, shp, dtype=dtype)
 
+    def get_test_matrix(self, user_slice: Optional[Tuple[int, int]] = None):
+        """Dense device profile matrix of the test users (reference
+        ``models.py:180-211`` returns the user-sliced CSR; the TPU-native
+        equivalent is an HBM-resident dense block).
+
+        Returns ``(profiles, test_users)`` where row i of ``profiles``
+        holds the interactions of ``test_users[i]``.
+        """
+        (user_rows, item_idx, feedback), test_shape, test_users = \
+            self._get_test_data()
+        start, stop = (user_slice if user_slice is not None
+                       else (0, test_shape[0]))
+        sel = (user_rows >= start) & (user_rows < stop)
+        profiles = np.zeros((stop - start, test_shape[1]))
+        profiles[user_rows[sel] - start, item_idx[sel]] = \
+            np.asarray(feedback, dtype=np.float64)[sel]
+        return (jnp.asarray(profiles, self.compute_dtype),
+                test_users[start:stop])
+
     # --- test-data plumbing --------------------------------------------------
 
     @property

@@ -72,3 +72,43 @@ def read_npz_from_url(url: str):
     import numpy as np
     with urlopen(url) as response:
         return np.load(io.BytesIO(response.read()))
+
+
+def get_available_memory() -> float:
+    """Available host RAM in bytes (reference
+    ``polara/tools/systools.py:13-57``); psutil when present, /proc
+    fallback on Linux."""
+    try:
+        import psutil
+        return float(psutil.virtual_memory().available)
+    except ImportError:
+        pass
+    try:
+        with open("/proc/meminfo") as handle:
+            for line in handle:
+                if line.startswith("MemAvailable:"):
+                    return float(line.split()[1]) * 1024.0
+    except OSError:
+        pass
+    raise RuntimeError("cannot determine available memory on this platform")
+
+
+def get_chunk_size(n_rows: int, n_cols: int, scores_multiplier: int = 1,
+                   budget_gb: Optional[float] = None) -> int:
+    """Largest row-chunk whose dense score block fits the budget
+    (reference ``polara/recommender/utils.py:16-47``); thin wrapper over
+    the static planner."""
+    bounds = plan_user_chunks(n_rows, n_cols,
+                              scores_multiplier=scores_multiplier,
+                              budget_gb=budget_gb)
+    return bounds[0][1] - bounds[0][0]
+
+
+def array_split(n_rows: int, n_cols: int, scores_multiplier: int = 1,
+                budget_gb: Optional[float] = None) -> List[int]:
+    """Chunk-boundary list like the reference's ``array_split``
+    (``utils.py:50-53``): [0, c, 2c, ..., n_rows]."""
+    chunk = get_chunk_size(n_rows, n_cols,
+                           scores_multiplier=scores_multiplier,
+                           budget_gb=budget_gb)
+    return range_division(n_rows, chunk)
