@@ -1,0 +1,281 @@
+"""Golden parity against the actual reference implementation.
+
+Runs only when the reference checkout is available (read-only mount at
+/root/reference).  The reference's numba-backed model layer cannot import
+without numba, but the two subtlest subsystems — the split/scenario data
+model and the sparse metric engine — are pure pandas/scipy and import
+fine, so we compare against them directly rather than against golden
+files.
+"""
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+sys.path.insert(0, REFERENCE_PATH)
+
+
+def _install_numba_stub():
+    """The reference decorates its kernels with numba at import time; the
+    data model and metric engine under test never call them, so identity
+    decorators are enough to import the package without numba."""
+    if "numba" in sys.modules:
+        return
+    try:
+        import numba  # noqa: F401
+        return
+    except ImportError:
+        pass
+
+    def _identity_decorator(*args, **kwargs):
+        if len(args) == 1 and callable(args[0]) and not kwargs:
+            return args[0]
+        return lambda func: func
+
+    stub = types.ModuleType("numba")
+    stub.jit = _identity_decorator
+    stub.njit = _identity_decorator
+    stub.guvectorize = _identity_decorator
+    stub.prange = range
+    stub.float64 = np.float64
+    stub.intp = np.intp
+    typed = types.ModuleType("numba.typed")
+    typed.Dict = dict
+    stub.typed = typed
+    types_mod = types.ModuleType("numba.types")
+    stub.types = types_mod
+    sys.modules["numba"] = stub
+    sys.modules["numba.typed"] = typed
+    sys.modules["numba.types"] = types_mod
+
+
+_install_numba_stub()
+
+
+def _patch_modern_pandas():
+    """The reference targets pandas<2; restore the removed public
+    ``DataFrameGroupBy.grouper`` accessor it relies on for reindexing."""
+    from pandas.core.groupby.generic import DataFrameGroupBy, SeriesGroupBy
+    from pandas.core.groupby.ops import BaseGrouper
+    for cls in (DataFrameGroupBy, SeriesGroupBy):
+        if not hasattr(cls, "grouper"):
+            cls.grouper = property(lambda self: self._grouper)
+    if not hasattr(BaseGrouper, "group_info"):
+        # legacy triple (comp_ids, obs_group_ids, ngroups)
+        BaseGrouper.group_info = property(
+            lambda self: (self.codes_info, np.arange(self.ngroups),
+                          self.ngroups))
+
+
+_patch_modern_pandas()
+
+ref_data_mod = pytest.importorskip(
+    "polara.recommender.data",
+    reason="reference checkout not importable")
+ref_eval = pytest.importorskip("polara.recommender.evaluation")
+
+from polara_tpu.data import RecommenderData  # noqa: E402
+from polara_tpu.evaluation.metrics import compute_metrics  # noqa: E402
+
+
+def make_events(seed=0, n_users=40, n_items=30):
+    rs = np.random.RandomState(seed)
+    rows = []
+    for user in range(n_users):
+        items = rs.choice(n_items, size=rs.randint(6, 14), replace=False)
+        for item in items:
+            rows.append((user + 100, item + 500, rs.randint(1, 6)))
+    return pd.DataFrame(rows, columns=["userid", "movieid", "rating"])
+
+
+def externalized(data_model, frame, userid="userid", itemid="movieid"):
+    """Map a frame's internal codes back to external ids (works for both
+    implementations — index layout is the same namedtuple shape)."""
+    user_index = data_model.index.userid.training
+    item_index = getattr(data_model.index.itemid, "training",
+                         data_model.index.itemid)
+    user_map = user_index.set_index("new")["old"] \
+        if "new" in user_index else user_index.set_index("new")["old"]
+    item_map = item_index.set_index("new")["old"]
+    out = frame.copy()
+    out[userid] = out[userid].map(user_map)
+    out[itemid] = out[itemid].map(item_map)
+    return out
+
+
+def as_tuples(frame, cols=("userid", "movieid", "rating")):
+    return set(map(tuple, frame[list(cols)].values.tolist()))
+
+
+def build_pair(config, seed=0):
+    events = make_events(seed)
+    ref = ref_data_mod.RecommenderData(events.copy(), "userid", "movieid",
+                                       "rating", seed=seed)
+    ref.verbose = False
+    for name, value in config.items():
+        setattr(ref, name, value)
+    ref.prepare()
+
+    ours = RecommenderData(events.copy(), "userid", "movieid", "rating",
+                           seed=seed, verbose=False)
+    for name, value in config.items():
+        setattr(ours, name, value)
+    ours.prepare()
+    return ref, ours
+
+
+@pytest.mark.parametrize("config", [
+    # scenario 3: known users, fold-reserved, top-rated holdout
+    dict(warm_start=False, test_ratio=0.2, holdout_size=2,
+         permute_tops=False),
+    # scenario 4: warm start
+    dict(warm_start=True, test_ratio=0.2, holdout_size=1,
+         permute_tops=False),
+    # scenario 2: holdout only
+    dict(warm_start=False, test_ratio=0, holdout_size=3,
+         permute_tops=False),
+    # negative holdout (worst-rated items)
+    dict(warm_start=False, test_ratio=0.2, holdout_size=1,
+         negative_prediction=True, permute_tops=False),
+], ids=["known-users", "warm-start", "holdout-only", "negative"])
+def test_split_parity(config):
+    """Deterministic (RNG-free) split configs produce identical training
+    and holdout sets, event for event."""
+    ref, ours = build_pair(config)
+
+    ref_train = as_tuples(externalized(ref, ref.training))
+    our_train = as_tuples(externalized(ours, ours.training))
+    assert ref_train == our_train
+
+    ref_holdout = ref.test.holdout
+    our_holdout = ours.test.holdout
+    # holdout user/item codes are internal; compare in external space
+    if config.get("warm_start"):
+        ref_user_map = ref.index.userid.test.set_index("new")["old"]
+        our_user_map = ours.index.userid.test.set_index("new")["old"]
+    else:
+        ref_user_map = ref.index.userid.training.set_index("new")["old"]
+        our_user_map = ours.index.userid.training.set_index("new")["old"]
+    ref_item_map = getattr(ref.index.itemid, "training",
+                           ref.index.itemid).set_index("new")["old"]
+    our_item_map = getattr(ours.index.itemid, "training",
+                           ours.index.itemid).set_index("new")["old"]
+
+    def holdout_tuples(holdout, user_map, item_map):
+        frame = holdout.copy()
+        frame["userid"] = frame["userid"].map(user_map)
+        frame["movieid"] = frame["movieid"].map(item_map)
+        return as_tuples(frame)
+
+    assert holdout_tuples(ref_holdout, ref_user_map, ref_item_map) \
+        == holdout_tuples(our_holdout, our_user_map, our_item_map)
+
+
+def test_split_parity_testset_warm_start():
+    """Warm-start testsets (the known part of test-user histories) agree."""
+    config = dict(warm_start=True, test_ratio=0.25, test_fold=2,
+                  holdout_size=1, permute_tops=False)
+    ref, ours = build_pair(config, seed=3)
+    ref_user_map = ref.index.userid.test.set_index("new")["old"]
+    our_user_map = ours.index.userid.test.set_index("new")["old"]
+    ref_item_map = ref.index.itemid.set_index("new")["old"] \
+        if not hasattr(ref.index.itemid, "training") \
+        else ref.index.itemid.training.set_index("new")["old"]
+    our_item_map = ours.index.itemid.set_index("new")["old"]
+
+    def tuples(frame, umap, imap):
+        out = frame.copy()
+        out["userid"] = out["userid"].map(umap)
+        out["movieid"] = out["movieid"].map(imap)
+        return as_tuples(out)
+
+    assert tuples(ref.test.testset, ref_user_map, ref_item_map) \
+        == tuples(ours.test.testset, our_user_map, our_item_map)
+
+
+# --------------------------------------------------------------------------
+# Metric-engine parity
+# --------------------------------------------------------------------------
+
+def make_eval_case(seed=0, n_users=25, n_items=60, topk=6):
+    """Holdout with 4 items/user (2 positive, 2 negative) and
+    recommendations guaranteeing every user has >=1 hit per class, so the
+    reference's safe_divide paths stay well-defined."""
+    rs = np.random.RandomState(seed)
+    rows = []
+    recs = np.empty((n_users, topk), dtype=np.int64)
+    for user in range(n_users):
+        items = rs.choice(n_items, size=4 + topk, replace=False)
+        pos, neg, fillers = items[:2], items[2:4], items[4:]
+        rows += [(user, pos[0], 5), (user, pos[1], 4),
+                 (user, neg[0], 2), (user, neg[1], 1)]
+        rec_row = np.concatenate(([pos[0], neg[0]], fillers))[:topk]
+        recs[user] = rs.permutation(rec_row)
+    holdout = pd.DataFrame(rows, columns=["userid", "movieid", "rating"])
+    return recs, holdout.sort_values("userid", kind="stable")
+
+
+@pytest.mark.parametrize("with_split", [True, False],
+                         ids=["polarity-split", "implicit"])
+def test_metric_engine_parity(with_split):
+    switch_positive = 3
+    topk = 6
+    recs, holdout = make_eval_case()
+    is_positive = ((holdout["rating"] >= switch_positive).values
+                   if with_split else None)
+    not_rated_penalty = 0 if with_split else 1
+
+    matrices = ref_eval.assemble_scoring_matrices(
+        recs, holdout, "userid", "movieid", is_positive, feedback="rating")
+    ref_rank = ref_eval.get_ranking_scores(
+        *matrices, topk, switch_positive, alternative=True)
+    ref_rel = ref_eval.get_relevance_scores(
+        *matrices, not_rated_penalty=not_rated_penalty)
+    ref_hits = ref_eval.get_hits(*matrices,
+                                 not_rated_penalty=not_rated_penalty)
+    ref_hr = ref_eval.get_hr_score(matrices[1]).hr
+    ref_rr = ref_eval.get_rr_scores(matrices[1])
+
+    ours = compute_metrics(recs, holdout, "userid", "movieid",
+                           feedback="rating", is_positive=is_positive,
+                           switch_positive=switch_positive,
+                           not_rated_penalty=not_rated_penalty,
+                           topk=topk, alternative=True)
+
+    rtol = 1e-5  # f64 reference vs f64-enabled jax
+    np.testing.assert_allclose(ours["hr"], ref_hr, rtol=rtol)
+    np.testing.assert_allclose(ours["arhr"], ref_rr.arhr, rtol=rtol)
+    np.testing.assert_allclose(ours["mrr"], ref_rr.mrr, rtol=rtol)
+    np.testing.assert_allclose(ours["map"], ref_rank.map, rtol=rtol)
+    np.testing.assert_allclose(ours["ndcg"], ref_rank.ndcg, rtol=rtol)
+    np.testing.assert_allclose(ours["precision"], ref_rel.precision,
+                               rtol=rtol)
+    np.testing.assert_allclose(ours["recall"], ref_rel.recall, rtol=rtol)
+    np.testing.assert_allclose(ours["miss_rate"], ref_rel.miss_rate,
+                               rtol=rtol)
+    np.testing.assert_allclose(ours["tp"], ref_hits.true_positive)
+    np.testing.assert_allclose(ours["fp"], ref_hits.false_positive)
+    np.testing.assert_allclose(ours["fn"], ref_hits.false_negative)
+    if with_split:
+        np.testing.assert_allclose(ours["ndcl"], ref_rank.ndcl, rtol=rtol)
+        np.testing.assert_allclose(ours["fallout"], ref_rel.fallout,
+                                   rtol=rtol)
+        np.testing.assert_allclose(ours["specifity"], ref_rel.specifity,
+                                   rtol=rtol)
+        np.testing.assert_allclose(ours["tn"], ref_hits.true_negative)
+
+
+def test_metric_parity_with_padded_recommendations():
+    """Short recommendation lists (_pad_const) agree too."""
+    recs, holdout = make_eval_case(seed=2)
+    recs[::3, -2:] = -1  # every third user gets a short list
+    matrices = ref_eval.assemble_scoring_matrices(
+        recs, holdout, "userid", "movieid", None, feedback="rating")
+    ref_hr = ref_eval.get_hr_score(matrices[1]).hr
+    ours = compute_metrics(recs, holdout, "userid", "movieid",
+                           feedback="rating", not_rated_penalty=1,
+                           topk=recs.shape[1], alternative=True)
+    np.testing.assert_allclose(ours["hr"], ref_hr, rtol=1e-6)
