@@ -279,3 +279,55 @@ def test_metric_parity_with_padded_recommendations():
                            feedback="rating", not_rated_penalty=1,
                            topk=recs.shape[1], alternative=True)
     np.testing.assert_allclose(ours["hr"], ref_hr, rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# End-to-end model parity: reference SVDModel (scipy ARPACK + numpy
+# scoring) vs ours (randomized SVD + device scoring)
+# --------------------------------------------------------------------------
+
+ref_models_mod = pytest.importorskip("polara.recommender.models")
+
+
+def test_svd_model_end_to_end_parity():
+    from polara_tpu.datasets import make_synthetic_interactions
+    from polara_tpu.models import SVDModel
+
+    events = make_synthetic_interactions(200, 120, 6000, seed=0)
+    config = dict(warm_start=False, test_ratio=0.2, holdout_size=2,
+                  permute_tops=False)
+
+    ref_data = ref_data_mod.RecommenderData(events.copy(), "userid",
+                                            "movieid", "rating", seed=0)
+    ref_data.verbose = False
+    for name, value in config.items():
+        setattr(ref_data, name, value)
+    ref = ref_models_mod.SVDModel(ref_data)
+    ref.verbose = False
+    ref.rank = 20
+    ref_ranking = ref.evaluate("ranking")
+    ref_relevance = ref.evaluate("relevance")
+
+    ours_data = RecommenderData(events.copy(), "userid", "movieid",
+                                "rating", seed=0, verbose=False)
+    for name, value in config.items():
+        setattr(ours_data, name, value)
+    ours = SVDModel(ours_data)
+    ours.verbose = False
+    ours.rank = 20
+    our_ranking = ours.evaluate("ranking")
+    our_relevance = ours.evaluate("relevance")
+
+    # rank-20 subspaces agree to ~1e-6, so hit sets are identical and the
+    # rank-position metrics match to solver precision.  (Reference nDCG is
+    # skipped: its safe_divide writes into uninitialized memory for users
+    # without hits, producing garbage means under modern numpy.)
+    np.testing.assert_allclose(our_ranking.map, ref_ranking.map, rtol=1e-6)
+    np.testing.assert_allclose(our_ranking.arhr, ref_ranking.arhr,
+                               rtol=1e-6)
+    np.testing.assert_allclose(our_relevance.precision,
+                               ref_relevance.precision, rtol=1e-6)
+    np.testing.assert_allclose(our_relevance.recall,
+                               ref_relevance.recall, rtol=1e-6)
+    agreement = (ref.recommendations == ours.recommendations).mean()
+    assert agreement > 0.99
