@@ -66,6 +66,7 @@ class RecommenderModel:
         self._recommendations: Optional[np.ndarray] = None
         self._test_plan: Optional[ChunkedTestData] = None
         self._test_users: Optional[np.ndarray] = None
+        self._training_matrix_cache: dict = {}
         self.method = "ABC"
 
         self._topk = defaults.get_default("topk")
@@ -102,6 +103,7 @@ class RecommenderModel:
     def _renew_model(self):
         self._recommendations = None
         self._test_plan = None
+        self._training_matrix_cache = {}
         self._is_ready = False
 
     def _refresh_model(self):
@@ -151,16 +153,28 @@ class RecommenderModel:
                             ignore_feedback: bool = False,
                             dense: bool = False,
                             dtype=None) -> CooMatrix | jax.Array:
-        """Training interactions as a device COO matrix (or dense block)."""
+        """Training interactions as a device COO matrix (or dense block).
+
+        Cached per configuration until the next training-data change —
+        rebuild loops (rank sweeps, epochs restarts) must not re-pay the
+        host→HBM ingestion."""
         threshold = feedback_threshold or self.feedback_threshold
+        dtype = dtype or self.compute_dtype
+        cache_key = (threshold, ignore_feedback, dense, jnp.dtype(dtype))
+        cached = self._training_matrix_cache.get(cache_key)
+        if cached is not None:
+            return cached
+
         idx, val, shp = self.data.to_coo(tensor_mode=False,
                                          feedback_threshold=threshold)
-        dtype = dtype or self.compute_dtype
         if ignore_feedback:
             val = np.ones_like(val)
         if dense:
-            return dense_from_coo(idx, val, shp, dtype=dtype)
-        return coo_from_arrays(idx, val, shp, dtype=dtype)
+            matrix = dense_from_coo(idx, val, shp, dtype=dtype)
+        else:
+            matrix = coo_from_arrays(idx, val, shp, dtype=dtype)
+        self._training_matrix_cache[cache_key] = matrix
+        return matrix
 
     def get_test_matrix(self, user_slice: Optional[Tuple[int, int]] = None):
         """Dense device profile matrix of the test users (reference

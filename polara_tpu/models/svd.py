@@ -67,7 +67,18 @@ class SVDModel(RecommenderModel):
         if operator is not None:
             svd_matrix = operator
         else:
-            svd_matrix = self.get_training_matrix().operator()
+            matrix = self.get_training_matrix()
+            # Prefer the dense HBM-resident operator: the COO segment-sum
+            # matmul is scatter-bound on TPU, while rating matrices at
+            # research scale fit HBM densely (SURVEY §7 "sparse-on-TPU")
+            budget = defaults.get_default("hbm_score_budget_gb") * 2**30
+            n_rows, n_cols = matrix.shape
+            dense_bytes = n_rows * n_cols * jnp.dtype(self.compute_dtype).itemsize
+            if dense_bytes <= budget:
+                from polara_tpu.ops.sparse import dense_operator
+                svd_matrix = dense_operator(matrix.to_dense())
+            else:
+                svd_matrix = matrix.operator()
 
         with track_time(self.training_time, verbose=self.verbose,
                         model=self.method):

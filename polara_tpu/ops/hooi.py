@@ -109,21 +109,58 @@ def hooi(idx: np.ndarray, val: np.ndarray, shape: Tuple[int, int, int],
     u0 = jnp.zeros((n0, r0), dtype)
     core = jnp.zeros(core_shape, dtype)
 
-    norm_old = 0.0
-    history = []
-    for step in range(num_iters):
-        u0, u1, u2, core, core_norm = _hooi_sweep(
-            i0, i1, i2, vals, u0, u1, u2, (n0, n1, n2), (r0, r1, r2))
-        norm_new = float(core_norm)
-        growth = (norm_new - norm_old) / norm_new
-        norm_old = norm_new
-        history.append(growth)
-        if verbose:
+    if verbose:
+        # host-stepped loop so growth can be printed per sweep
+        norm_old = 0.0
+        history = []
+        for step in range(num_iters):
+            u0, u1, u2, core, core_norm = _hooi_sweep(
+                i0, i1, i2, vals, u0, u1, u2, (n0, n1, n2), (r0, r1, r2))
+            norm_new = float(core_norm)
+            growth = (norm_new - norm_old) / norm_new
+            norm_old = norm_new
+            history.append(growth)
             print(f"HOOI step {step + 1}: core growth {growth:.6f}")
-        if growth < growth_tol:
-            break
+            if growth < growth_tol:
+                break
+        return HooiResult(u0=u0, u1=u1, u2=u2, core=core,
+                          growth_history=tuple(history))
+
+    u0, u1, u2, core, growths, n_steps = _hooi_until(
+        i0, i1, i2, vals, u0, u1, u2, (n0, n1, n2), (r0, r1, r2),
+        num_iters, float(growth_tol))
+    history = tuple(np.asarray(growths)[: int(n_steps)].tolist())
     return HooiResult(u0=u0, u1=u1, u2=u2, core=core,
-                      growth_history=tuple(history))
+                      growth_history=history)
+
+
+@partial(jax.jit, static_argnames=("shape", "core_shape", "num_iters"))
+def _hooi_until(i0, i1, i2, vals, u0, u1, u2, shape, core_shape,
+                num_iters: int, growth_tol: float):
+    """Whole HOOI convergence loop on device (one dispatch instead of a
+    host sync per sweep — the sweep itself is milliseconds on TPU, so
+    tunnel/host latency dominated the reference-style loop)."""
+    core0 = jnp.zeros(core_shape, u1.dtype)
+    growths0 = jnp.full((num_iters,), jnp.nan, u1.dtype)
+
+    def cond(carry):
+        *_, step, done = carry
+        return jnp.logical_and(~done, step < num_iters)
+
+    def body(carry):
+        u0, u1, u2, core, norm_old, growths, step, _ = carry
+        u0, u1, u2, core, core_norm = _hooi_sweep.__wrapped__(
+            i0, i1, i2, vals, u0, u1, u2, shape, core_shape)
+        growth = (core_norm - norm_old) / core_norm
+        growths = growths.at[step].set(growth)
+        return (u0, u1, u2, core, core_norm, growths, step + 1,
+                growth < growth_tol)
+
+    init = (u0, u1, u2, core0, jnp.asarray(0.0, u1.dtype), growths0,
+            jnp.asarray(0), jnp.asarray(False))
+    u0, u1, u2, core, _, growths, n_steps, _ = jax.lax.while_loop(
+        cond, body, init)
+    return u0, u1, u2, core, growths, n_steps
 
 
 def round_core(core: np.ndarray, mode: int, rank: int

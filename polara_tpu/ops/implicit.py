@@ -104,11 +104,28 @@ def ials_train(dense_ratings: jax.Array, rank: int, alpha: float = 1.0,
                     * (1.0 / math.sqrt(rank)))
     user_factors = jnp.zeros((n_users, rank), dtype)
 
-    cm1_t = cm1.T
-    for _ in range(num_epochs):
-        user_factors = ials_half_sweep(cm1, item_factors, reg, batch_rows)
-        item_factors = ials_half_sweep(cm1_t, user_factors, reg, batch_rows)
+    user_factors, item_factors = _ials_epochs(
+        cm1, user_factors, item_factors, reg, num_epochs, batch_rows)
     return ImplicitFactors(user=user_factors, item=item_factors)
+
+
+@partial(jax.jit, static_argnames=("num_epochs", "batch_rows"))
+def _ials_epochs(cm1, user_factors, item_factors, reg, num_epochs: int,
+                 batch_rows: int):
+    """All alternating sweeps in one device program (a host dispatch per
+    half-sweep costs more than the sweep itself on TPU)."""
+    cm1_t = cm1.T
+
+    def epoch(_, carry):
+        user_factors, item_factors = carry
+        user_factors = ials_half_sweep.__wrapped__(cm1, item_factors, reg,
+                                                   batch_rows)
+        item_factors = ials_half_sweep.__wrapped__(cm1_t, user_factors,
+                                                   reg, batch_rows)
+        return user_factors, item_factors
+
+    return jax.lax.fori_loop(0, num_epochs, epoch,
+                             (user_factors, item_factors))
 
 
 def ials_fold_in(profiles: jax.Array, item_factors: jax.Array,

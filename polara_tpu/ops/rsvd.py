@@ -77,6 +77,14 @@ def _panel_qr(a: jax.Array, method: str) -> Tuple[jax.Array, jax.Array]:
 _panel_qr_jit = jax.jit(_panel_qr, static_argnames="method")
 
 
+def _power_step_impl(op: MatmulOperator, q: jax.Array, method: str
+                     ) -> Tuple[jax.Array, jax.Array]:
+    z, r = _panel_qr(op.rmm(q), method)
+    s_est = jnp.abs(jnp.diagonal(r))
+    q, _ = _panel_qr(op.mm(z), method)
+    return q, s_est
+
+
 @partial(jax.jit, static_argnames=("method",))
 def _power_step(op: MatmulOperator, q: jax.Array, method: str = "householder"
                 ) -> Tuple[jax.Array, jax.Array]:
@@ -86,10 +94,32 @@ def _power_step(op: MatmulOperator, q: jax.Array, method: str = "householder"
     ``op`` is a pytree argument: its backing arrays are traced operands,
     so the compiled step is reused across rebuilds and nothing lands in
     the program as a constant."""
-    z, r = _panel_qr(op.rmm(q), method)
-    s_est = jnp.abs(jnp.diagonal(r))
-    q, _ = _panel_qr(op.mm(z), method)
-    return q, s_est
+    return _power_step_impl(op, q, method)
+
+
+@partial(jax.jit, static_argnames=("method", "k", "max_iter"))
+def _power_until(op: MatmulOperator, q: jax.Array, k: int, tol: float,
+                 max_iter: int, method: str) -> jax.Array:
+    """Power iterations until the top-k singular estimates stabilize —
+    the whole convergence loop lives on device (``lax.while_loop``), so a
+    build costs one dispatch instead of one host sync per iteration."""
+    s_init = jnp.full((k,), jnp.inf, q.dtype)
+
+    def cond(carry):
+        _, _, i, done = carry
+        return jnp.logical_and(~done, i < max_iter)
+
+    def body(carry):
+        q, s_prev, i, _ = carry
+        q, s_est = _power_step_impl(op, q, method)
+        s_top = s_est[:k]
+        denom = jnp.maximum(jnp.abs(s_top), 1e-30)
+        rel = jnp.max(jnp.abs(s_top - s_prev) / denom)
+        return q, s_top, i + 1, rel < tol
+
+    q, _, _, _ = jax.lax.while_loop(
+        cond, body, (q, s_init, jnp.asarray(0), jnp.asarray(False)))
+    return q
 
 
 @jax.jit
@@ -134,15 +164,7 @@ def randomized_svd(a: Union[jax.Array, MatmulOperator], k: int,
         for _ in range(n_iter):
             q, _ = _power_step(op, q, qr_method)
     else:
-        s_prev = None
-        for _ in range(max_iter):
-            q, s_est = _power_step(op, q, qr_method)
-            s_top = s_est[:k]
-            if s_prev is not None:
-                denom = jnp.maximum(jnp.abs(s_top), 1e-30)
-                if float(jnp.max(jnp.abs(s_top - s_prev) / denom)) < tol:
-                    break
-            s_prev = s_top
+        q = _power_until(op, q, k, float(tol), max_iter, qr_method)
 
     u, s, vt = _finalize(op, q)
     return SvdResult(u=u[:, :k], s=s[:k], v=vt[:k, :].T)

@@ -181,7 +181,17 @@ def coo_from_arrays(idx: np.ndarray, val: np.ndarray,
 def dense_from_coo(idx: np.ndarray, val: np.ndarray,
                    shape: Tuple[int, ...],
                    dtype: jnp.dtype = jnp.float32) -> jax.Array:
-    out = jnp.zeros(tuple(int(s) for s in shape), dtype=dtype)
+    shape = tuple(int(s) for s in shape)
+    if isinstance(idx, np.ndarray) and isinstance(val, np.ndarray):
+        # densify on host: a flat bincount is orders of magnitude faster
+        # than a device scatter over millions of events, and one bulk
+        # transfer beats per-event device work
+        flat = np.ravel_multi_index(
+            tuple(idx[:, d] for d in range(idx.shape[1])), shape)
+        out = np.bincount(flat, weights=val,
+                          minlength=int(np.prod(shape)))
+        return jnp.asarray(out.reshape(shape), dtype=dtype)
+    out = jnp.zeros(shape, dtype=dtype)
     return out.at[tuple(jnp.asarray(idx[:, d]) for d in
                         range(idx.shape[1]))].add(jnp.asarray(val, dtype))
 

@@ -60,3 +60,17 @@ def profiler_trace(logdir: Optional[str] = None):
         return
     with jax.profiler.trace(logdir):
         yield
+
+
+def enable_compilation_cache(cache_dir: str = "~/.cache/polara_tpu_xla"
+                             ) -> None:
+    """Persist XLA executables across processes — the first jit of the
+    big scoring/factorization programs costs tens of seconds on TPU;
+    subsequent runs of the same shapes load from disk instead."""
+    import os
+
+    import jax
+    path = os.path.expanduser(cache_dir)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
