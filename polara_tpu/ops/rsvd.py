@@ -97,6 +97,14 @@ def _power_step(op: MatmulOperator, q: jax.Array, method: str = "householder"
     return _power_step_impl(op, q, method)
 
 
+@partial(jax.jit, static_argnames=("method", "n_iter"))
+def _power_fixed(op: MatmulOperator, q: jax.Array, n_iter: int,
+                 method: str) -> jax.Array:
+    """Fixed-count power iterations fused into one device program."""
+    return jax.lax.fori_loop(
+        0, n_iter, lambda _, q: _power_step_impl(op, q, method)[0], q)
+
+
 @partial(jax.jit, static_argnames=("method", "k", "max_iter"))
 def _power_until(op: MatmulOperator, q: jax.Array, k: int, tol: float,
                  max_iter: int, method: str) -> jax.Array:
@@ -161,8 +169,7 @@ def randomized_svd(a: Union[jax.Array, MatmulOperator], k: int,
     q, _ = _panel_qr_jit(op.mm(omega), qr_method)
 
     if tol is None:
-        for _ in range(n_iter):
-            q, _ = _power_step(op, q, qr_method)
+        q = _power_fixed(op, q, n_iter, qr_method)
     else:
         q = _power_until(op, q, k, float(tol), max_iter, qr_method)
 
