@@ -1,0 +1,174 @@
+"""Low-latency serving bundle.
+
+New capability vs the reference (which is research-only): package a
+trained factor model into a fixed-shape compiled inference function for
+online recommendation serving.  Requests arrive as raw user profiles
+(dense rows or event lists); the bundle pads them to a static batch
+shape, runs the fused ``(P·V)·Vᵀ → mask seen → top-k`` program, and
+returns item ids.  One executable per (batch, topk) — no retracing in
+the serving loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from polara_tpu.runtime.checkpoint import load_factors, save_factors
+
+
+@partial(jax.jit, static_argnames=("topk", "filter_seen"))
+def _serve_step(item_factors: jax.Array, profiles: jax.Array,
+                topk: int, filter_seen: bool) -> jax.Array:
+    scores = (profiles @ item_factors) @ item_factors.T
+    if filter_seen:
+        scores = jnp.where(profiles > 0, -jnp.inf, scores)
+    _, idx = jax.lax.top_k(scores, topk)
+    return idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("topk", "filter_seen"))
+def _serve_step_events(item_factors: jax.Array, item_ids: jax.Array,
+                       values: jax.Array, valid: jax.Array,
+                       topk: int, filter_seen: bool) -> jax.Array:
+    """Event-list request path: ships (ids, values) instead of dense
+    profiles — two orders of magnitude less host→device traffic for
+    typical interaction histories."""
+    v = item_factors
+    contrib = jnp.where(valid[..., None],
+                        values[..., None].astype(v.dtype) * v[item_ids],
+                        0.0)
+    proj = contrib.sum(axis=1)                       # (b, r)
+    scores = proj @ v.T                              # (b, n_items)
+    if filter_seen:
+        rows = jnp.broadcast_to(
+            jnp.arange(item_ids.shape[0])[:, None], item_ids.shape)
+        update = jnp.where(valid, -jnp.inf, jnp.inf)
+        scores = scores.at[rows, jnp.where(valid, item_ids, 0)].min(update)
+    _, idx = jax.lax.top_k(scores, topk)
+    return idx.astype(jnp.int32)
+
+
+class ServingBundle:
+    """Compiled top-k recommender over fixed item factors.
+
+    ``batch_size`` fixes the compiled request shape; smaller request
+    batches are padded (and the padding rows discarded).
+    """
+
+    def __init__(self, item_factors, topk: int = 10,
+                 filter_seen: bool = True, batch_size: int = 256,
+                 dtype=jnp.float32):
+        self.item_factors = jnp.asarray(item_factors, dtype)
+        self.topk = int(topk)
+        self.filter_seen = bool(filter_seen)
+        self.batch_size = int(batch_size)
+
+    @property
+    def n_items(self) -> int:
+        return self.item_factors.shape[0]
+
+    @classmethod
+    def from_model(cls, model, topk: Optional[int] = None,
+                   **kwargs) -> "ServingBundle":
+        """Bundle a trained SVD-family/MF model (anything whose scoring
+        is ``profiles @ V @ Vᵀ`` over item factors)."""
+        itemid = model.data.fields.itemid
+        factors = model.factors.get(itemid)
+        if factors is None:
+            raise ValueError(f"{model.method} has no item factors; "
+                             "build() first")
+        return cls(factors, topk=topk if topk is not None else model.topk,
+                   filter_seen=model.filter_seen, **kwargs)
+
+    def warmup(self) -> None:
+        """Trigger compilation ahead of the first request."""
+        dummy = jnp.zeros((self.batch_size, self.n_items),
+                          self.item_factors.dtype)
+        jax.block_until_ready(_serve_step(self.item_factors, dummy,
+                                          self.topk, self.filter_seen))
+
+    def recommend_events(self, events: Sequence) -> np.ndarray:
+        """Top-k for per-user event lists (item-id lists or
+        {item: rating} dicts) without materializing dense profiles —
+        the low-bandwidth request path."""
+        n = len(events)
+        rows = []
+        for user_events in events:
+            if isinstance(user_events, dict):
+                rows.append((np.fromiter(user_events.keys(), np.int64,
+                                         len(user_events)),
+                             np.fromiter(user_events.values(), np.float64,
+                                         len(user_events))))
+            else:
+                items = np.asarray(list(user_events), dtype=np.int64)
+                rows.append((items, np.ones(len(items))))
+        width = max(1, max(len(i) for i, _ in rows))
+        width = 1 << (width - 1).bit_length()   # bucket to powers of two
+        item_ids = np.zeros((n, width), np.int32)
+        values = np.zeros((n, width), np.float32)
+        valid = np.zeros((n, width), bool)
+        for r, (items, vals) in enumerate(rows):
+            item_ids[r, :len(items)] = items
+            values[r, :len(items)] = vals
+            valid[r, :len(items)] = True
+
+        out = np.empty((n, self.topk), dtype=np.int32)
+        for start in range(0, n, self.batch_size):
+            stop = min(start + self.batch_size, n)
+            pad = self.batch_size - (stop - start)
+            recs = _serve_step_events(
+                self.item_factors,
+                jnp.asarray(np.pad(item_ids[start:stop], ((0, pad),
+                                                          (0, 0)))),
+                jnp.asarray(np.pad(values[start:stop], ((0, pad), (0, 0)))),
+                jnp.asarray(np.pad(valid[start:stop], ((0, pad), (0, 0)))),
+                self.topk, self.filter_seen)
+            out[start:stop] = np.asarray(recs)[: stop - start]
+        return out
+
+    def recommend(self, profiles) -> np.ndarray:
+        """Top-k item ids per request row.
+
+        ``profiles``: (n, n_items) array, or a sequence of per-user
+        item-id lists / {item: rating} dicts (routed through the
+        low-bandwidth event path).
+        """
+        if not isinstance(profiles, np.ndarray) \
+                and not isinstance(profiles, jax.Array):
+            return self.recommend_events(profiles)
+        profiles = np.asarray(profiles)
+        if profiles.ndim == 1:
+            profiles = profiles[None, :]
+        n = profiles.shape[0]
+
+        out = np.empty((n, self.topk), dtype=np.int32)
+        for start in range(0, n, self.batch_size):
+            stop = min(start + self.batch_size, n)
+            block = np.zeros((self.batch_size, self.n_items))
+            block[: stop - start] = profiles[start:stop]
+            recs = _serve_step(self.item_factors,
+                               jnp.asarray(block,
+                                           self.item_factors.dtype),
+                               self.topk, self.filter_seen)
+            out[start:stop] = np.asarray(recs)[: stop - start]
+        return out
+
+    # --- persistence ----------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        save_factors(path, {"item_factors": self.item_factors},
+                     meta={"topk": self.topk,
+                           "filter_seen": self.filter_seen,
+                           "batch_size": self.batch_size,
+                           "kind": "ServingBundle"})
+
+    @classmethod
+    def load(cls, path: str) -> "ServingBundle":
+        factors, meta = load_factors(path)
+        return cls(factors["item_factors"], topk=meta["topk"],
+                   filter_seen=meta["filter_seen"],
+                   batch_size=meta["batch_size"])

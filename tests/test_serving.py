@@ -1,0 +1,72 @@
+"""Serving bundle: compiled fixed-shape inference over trained factors."""
+import numpy as np
+import pytest
+
+from polara_tpu.data import RecommenderData
+from polara_tpu.datasets import make_synthetic_interactions
+from polara_tpu.models import SVDModel
+from polara_tpu.runtime.serving import ServingBundle
+
+
+@pytest.fixture(scope="module")
+def trained_model():
+    events = make_synthetic_interactions(n_users=80, n_items=50,
+                                         n_events=1500, seed=0)
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+    model = SVDModel(data)
+    model.rank = 10
+    model.verbose = False
+    model.build()
+    return model
+
+
+def test_bundle_matches_model_scoring(trained_model):
+    bundle = ServingBundle.from_model(trained_model, topk=5, batch_size=16)
+    bundle.warmup()
+    profiles, test_users = trained_model.get_test_matrix()
+    recs = bundle.recommend(np.asarray(profiles))
+    assert recs.shape == (profiles.shape[0], 5)
+
+    # manual check: masked dense scoring for one user
+    v = np.asarray(trained_model.factors["movieid"])
+    p = np.asarray(profiles)
+    scores = (p @ v) @ v.T
+    scores[p > 0] = -np.inf
+    expect = np.argsort(-scores[0], kind="stable")[:5]
+    np.testing.assert_array_equal(recs[0], expect)
+
+
+def test_bundle_event_list_requests(trained_model):
+    bundle = ServingBundle.from_model(trained_model, topk=4, batch_size=8)
+    recs = bundle.recommend([[1, 2, 3], {7: 5.0, 9: 3.0}])
+    assert recs.shape == (2, 4)
+    assert not (set(recs[0]) & {1, 2, 3})        # seen filtered
+    assert not (set(recs[1]) & {7, 9})
+
+
+def test_bundle_save_load_roundtrip(trained_model, tmp_path):
+    bundle = ServingBundle.from_model(trained_model, topk=3, batch_size=4)
+    profiles, _ = trained_model.get_test_matrix()
+    before = bundle.recommend(np.asarray(profiles)[:6])
+    path = str(tmp_path / "bundle.npz")
+    bundle.save(path)
+    restored = ServingBundle.load(path)
+    assert restored.topk == 3 and restored.batch_size == 4
+    np.testing.assert_array_equal(
+        restored.recommend(np.asarray(profiles)[:6]), before)
+
+
+def test_bundle_requires_built_model():
+    events = make_synthetic_interactions(n_users=20, n_items=15,
+                                         n_events=200, seed=1)
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.prepare_training_only()
+    model = SVDModel(data)
+    with pytest.raises(ValueError, match="no item factors"):
+        ServingBundle.from_model(model)
