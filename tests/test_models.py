@@ -212,3 +212,51 @@ class TestWarmStartScoring:
         np.testing.assert_array_equal(model.recommendations, recs10)
         r10 = model.evaluate("relevance", topk=10)
         assert r10.recall >= r5.recall
+
+
+def test_multi_chunk_scoring_matches_single_chunk():
+    """Forcing small chunks exercises the chunk-streaming path; results
+    must equal the single-chunk run (XLA and fused backends)."""
+    import numpy as np
+    from polara_tpu import config as defaults
+    from polara_tpu.data import RecommenderData
+    from polara_tpu.datasets import make_synthetic_interactions
+    from polara_tpu.models import SVDModel
+    from polara_tpu.ops.scoring import ChunkedTestData
+
+    events = make_synthetic_interactions(60, 40, 1000, seed=9)
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+    model = SVDModel(data)
+    model.rank = 6
+    model.verbose = False
+    single = model.recommendations.copy()
+
+    original_build = ChunkedTestData.build.__func__
+
+    def chunked_build(cls, *args, **kwargs):
+        kwargs["chunk_users"] = 7  # force 9 chunks
+        return original_build(cls, *args, **kwargs)
+
+    ChunkedTestData.build = classmethod(chunked_build)
+    try:
+        model._recommendations = None
+        model._test_plan = None
+        multi = model.recommendations.copy()
+        np.testing.assert_array_equal(multi, single)
+
+        saved = defaults.get_default("pallas_scoring")
+        defaults.set_default("pallas_scoring", True)  # interpret off-TPU
+        try:
+            model._recommendations = None
+            model._test_plan = None
+            fused_multi = model.recommendations
+            np.testing.assert_array_equal(fused_multi, single)
+        finally:
+            defaults.set_default("pallas_scoring", saved)
+    finally:
+        ChunkedTestData.build = classmethod(original_build)

@@ -331,3 +331,49 @@ def test_svd_model_end_to_end_parity():
                                ref_relevance.recall, rtol=1e-6)
     agreement = (ref.recommendations == ours.recommendations).mean()
     assert agreement > 0.99
+
+
+def test_state_machine_random_walk_parity():
+    """Random sequences of config changes drive both state machines
+    through the same scenario transitions — after every update the
+    resulting training/holdout sets must agree (deterministic sampling
+    configs only)."""
+    rs = np.random.RandomState(11)
+    ref, ours = build_pair(dict(warm_start=False, test_ratio=0.2,
+                                holdout_size=2, permute_tops=False))
+
+    moves = []
+    for _ in range(12):
+        kind = rs.choice(["fold", "holdout", "ratio", "warm"])
+        if kind == "fold":
+            moves.append(("test_fold", int(rs.randint(1, 5))))
+        elif kind == "holdout":
+            moves.append(("holdout_size", int(rs.randint(1, 4))))
+        elif kind == "ratio":
+            moves.append(("test_ratio", float(rs.choice([0.2, 0.25]))))
+        else:
+            moves.append(("warm_start", bool(rs.randint(2))))
+
+    for step, (name, value) in enumerate(moves):
+        # keep configs valid for both implementations
+        if name == "warm_start" and value:
+            setattr(ref, "holdout_size", 1)
+            setattr(ours, "holdout_size", 1)
+        setattr(ref, name, value)
+        setattr(ours, name, value)
+        ref.update()
+        ours.update()
+        if ref.training is None:
+            assert ours.training is None
+            continue
+        ref_train = as_tuples(externalized(ref, ref.training))
+        our_train = as_tuples(externalized(ours, ours.training))
+        assert ref_train == our_train, f"training diverged at step {step}: {name}={value}"
+
+        ref_holdout = ref.test.holdout
+        our_holdout = ours.test.holdout
+        if ref_holdout is None:
+            assert our_holdout is None
+            continue
+        assert len(ref_holdout) == len(our_holdout), \
+            f"holdout size diverged at step {step}: {name}={value}"
