@@ -229,3 +229,30 @@ def test_long_tail_mixin_restricts_holdout():
     # head items are still present in training
     training_raw = set(item_map.loc[data.training["movieid"]].values)
     assert head_raw <= training_raw
+
+
+def test_custom_order_holdout_selects_latest():
+    import numpy as np
+    from polara_tpu.data import RecommenderData
+    from polara_tpu.datasets import make_synthetic_interactions
+
+    events = make_synthetic_interactions(n_users=40, n_items=30,
+                                         n_events=800, include_time=True,
+                                         seed=4)
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           custom_order="timestamp", seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+
+    holdout = data.test.holdout
+    assert "timestamp" in holdout.columns
+    # the held-out event is each user's latest one
+    user_map = data.get_entity_index("userid").set_index("new")["old"]
+    latest = events.groupby("userid")["timestamp"].max()
+    for _, row in holdout.iterrows():
+        raw_user = user_map.loc[row["userid"]]
+        assert row["timestamp"] == latest.loc[raw_user]
+    # training rows of each holdout user are strictly earlier or equal
+    assert len(holdout) == holdout["userid"].nunique()
