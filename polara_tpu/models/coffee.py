@@ -117,18 +117,23 @@ class CoffeeModel(RecommenderModel):
         # per-feedback-level scalar weights: alpha_f = w[f] . wt_flat
         level_weights = jnp.asarray(w @ wt_flat, self.compute_dtype)
         return {"item_factors": self.factors[itemid],
-                "level_weights": level_weights}
+                "level_weights": level_weights,
+                "item_panel": self.factors[itemid]}
 
     @staticmethod
-    def score_chunk(params: dict, chunk: TestChunk) -> jax.Array:
+    def proj_chunk(params: dict, chunk: TestChunk) -> jax.Array:
         v = params["item_factors"]
         # chunk.vals holds the feedback-level INDEX in tensor mode
         levels = chunk.vals.astype(jnp.int32)
         alpha = jnp.where(chunk.valid, params["level_weights"][levels], 0.0)
         contrib = alpha[:, None].astype(v.dtype) * v[chunk.cols]
-        proj = jax.ops.segment_sum(contrib, chunk.rows,
+        return jax.ops.segment_sum(contrib, chunk.rows,
                                    num_segments=chunk.users.shape[0])
-        return proj @ v.T
+
+    @staticmethod
+    def score_chunk(params: dict, chunk: TestChunk) -> jax.Array:
+        return CoffeeModel.proj_chunk(params, chunk) \
+            @ params["item_panel"].T
 
     def predict_feedback(self) -> np.ndarray:
         """Rating prediction for the holdout: argmax over the feedback

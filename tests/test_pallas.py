@@ -116,3 +116,20 @@ def test_driver_fused_matches_xla(small_data, model_cls):
     finally:
         defaults.set_default("pallas_scoring", saved)
     np.testing.assert_array_equal(fused_recs, xla_recs)
+
+
+def test_driver_fused_matches_xla_coffee(small_data):
+    from polara_tpu.models import CoffeeModel
+    model = CoffeeModel(small_data)
+    model.mlrank = (6, 5, 2)
+    model.verbose = False
+    xla_recs = model.recommendations.copy()
+    saved = defaults.get_default("pallas_scoring")
+    try:
+        defaults.set_default("pallas_scoring", True)
+        model._recommendations = None
+        model._test_plan = None
+        fused_recs = model.recommendations
+    finally:
+        defaults.set_default("pallas_scoring", saved)
+    np.testing.assert_array_equal(fused_recs, xla_recs)

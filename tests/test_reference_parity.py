@@ -218,12 +218,13 @@ def make_eval_case(seed=0, n_users=25, n_items=60, topk=6):
     return recs, holdout.sort_values("userid", kind="stable")
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("with_split", [True, False],
                          ids=["polarity-split", "implicit"])
-def test_metric_engine_parity(with_split):
+def test_metric_engine_parity(with_split, seed):
     switch_positive = 3
     topk = 6
-    recs, holdout = make_eval_case()
+    recs, holdout = make_eval_case(seed=seed)
     is_positive = ((holdout["rating"] >= switch_positive).values
                    if with_split else None)
     not_rated_penalty = 0 if with_split else 1
