@@ -229,10 +229,8 @@ class RecommenderData:
         else:
             testset = None
             test_split = slice(None)
-            if self._holdout_size >= 1:  # scenario 2, per-user top sampling
+            if self._holdout_size > 0:  # scenario 2 (count or fraction)
                 holdout = self._sample_holdout(test_split)
-            elif self._holdout_size > 0:  # scenario 2, global fraction
-                holdout = self._sample_holdout_fraction()
             else:  # scenario 1
                 holdout = None
             train_split = (slice(None) if holdout is None
@@ -336,25 +334,15 @@ class RecommenderData:
                 chosen = grouper.nlargest(size, keep="last")
             else:
                 def top_fraction(group):
-                    k = round(size * len(group))
+                    k = int(round(size * len(group)))
+                    if k <= 0:
+                        # deviation from the reference's `[-0:]` slice
+                        # (which silently holds out the WHOLE group):
+                        # a zero-rounded fraction holds out nothing
+                        return group.iloc[:0]
                     return group.iloc[np.argpartition(group, -k)[-k:]]
                 chosen = grouper.apply(top_fraction)
         return self._data.loc[chosen.index]
-
-    def _sample_holdout_fraction(self) -> pd.DataFrame:
-        """Scenario-2 fractional holdout over the whole dataset at once."""
-        frac = self._holdout_size
-        if self._random_holdout:
-            rs = np.random.RandomState(self.seed)
-            return self._data.sample(frac=frac, random_state=rs)
-        group_id = self.fields.userid
-        order_id = self._custom_order or self.fields.feedback
-        ranked = (self._data.groupby(group_id, sort=False)[order_id]
-                  .rank(method="first"))
-        sizes = self._data.groupby(group_id, sort=False)[order_id] \
-                          .transform("size")
-        largest = ranked > (sizes * frac).round()
-        return self._data.loc[largest].copy()
 
     def _sample_testset(self, test_split, holdout_index) -> pd.DataFrame:
         data = self._data[test_split].drop(holdout_index)
@@ -542,19 +530,26 @@ class RecommenderData:
         """
         userid, itemid, feedback = self.fields
         training = self.training
-        pair_idx = training[[userid, itemid]].values
         if tensor_mode:
+            # threshold on the raw feedback BEFORE level encoding — the
+            # tensor values are all-ones level indicators
+            if feedback_threshold is not None:
+                training = training[training[feedback]
+                                    >= feedback_threshold]
             fb_codes, fb_map = build_entity_index(training, feedback,
                                                  sort=True, inplace=False)
             self.index = self.index._replace(feedback=fb_map)
-            idx = np.hstack((pair_idx, fb_codes[:, np.newaxis]))
+            idx = np.hstack((training[[userid, itemid]].values,
+                             fb_codes[:, np.newaxis]))
+            val = np.ones(training.shape[0])
+            shp = tuple(idx.max(axis=0) + 1)
+            return (idx.astype(np.intp),
+                    np.ascontiguousarray(val, dtype=None), shp)
+        idx = training[[userid, itemid]].values
+        if feedback is None:
             val = np.ones(training.shape[0])
         else:
-            idx = pair_idx
-            if feedback is None:
-                val = np.ones(training.shape[0])
-            else:
-                val = training[feedback].values
+            val = training[feedback].values
         shp = tuple(idx.max(axis=0) + 1)
         idx, val = self.threshold_data(idx, val, feedback_threshold)
         return idx.astype(np.intp), np.ascontiguousarray(val, dtype=None), shp

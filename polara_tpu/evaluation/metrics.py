@@ -43,11 +43,14 @@ Experience = namedtuple("Experience", ["coverage"])
 
 
 def build_holdout_arrays(holdout: pd.DataFrame, key: str, target: str,
-                         feedback: Optional[str] = None
-                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                         feedback: Optional[str] = None,
+                         return_positions: bool = False):
     """Pack a key-sorted holdout frame into padded per-key arrays.
 
-    Returns (items, feedback_values, valid_mask), each (n_keys, h_max).
+    Returns (items, feedback_values, valid_mask), each (n_keys, h_max) —
+    plus the per-event (keys, positions) placement when
+    ``return_positions`` is set, so callers scattering aligned payloads
+    (e.g. polarity flags) reuse the exact same layout.
     Keys are rebased to 0..n_keys-1 by order of appearance — rows align
     with the recommendation matrix exactly as in the reference
     (``evaluation.py:45-61`` relies on the same sorted-key alignment).
@@ -68,6 +71,8 @@ def build_holdout_arrays(holdout: pd.DataFrame, key: str, target: str,
     else:
         fb[keys, positions] = 1.0
     valid[keys, positions] = True
+    if return_positions:
+        return items, fb, valid, keys, positions
     return items, fb, valid
 
 
@@ -186,7 +191,8 @@ def compute_metrics(recommendations: np.ndarray, holdout: pd.DataFrame,
     recs = np.asarray(recommendations)
     if recs.ndim == 1:
         recs = recs[None, :]
-    items, fb, valid = build_holdout_arrays(holdout, key, target, feedback)
+    items, fb, valid, keys, positions = build_holdout_arrays(
+        holdout, key, target, feedback, return_positions=True)
     if recs.shape[0] != items.shape[0]:
         raise ValueError(
             f"{recs.shape[0]} recommendation rows vs {items.shape[0]} "
@@ -194,10 +200,6 @@ def compute_metrics(recommendations: np.ndarray, holdout: pd.DataFrame,
     has_split = is_positive is not None
     if has_split:
         is_pos = np.zeros_like(valid)
-        keys = pd.factorize(holdout[key], sort=False)[0]
-        counts = np.bincount(keys, minlength=items.shape[0])
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        positions = np.arange(len(keys)) - np.repeat(offsets, counts)
         is_pos[keys, positions] = np.asarray(is_positive)
     else:
         is_pos = valid

@@ -93,15 +93,31 @@ def jaccard_similarity(f, fill_diagonal: bool = True) -> jax.Array:
     return _fill_diag(s) if fill_diagonal else s
 
 
-@partial(jax.jit, static_argnames=("block",))
-def _l1_distance_matrix(f: jax.Array, block: int = 256) -> jax.Array:
-    n = f.shape[0]
+@partial(jax.jit, static_argnames=("block", "feature_block"))
+def _l1_distance_matrix(f: jax.Array, block: int = 64,
+                        feature_block: int = 256) -> jax.Array:
+    """Pairwise L1 distances with both the row axis AND the feature axis
+    blocked — the broadcasted |rows - all|, at (block, n, feature_block),
+    stays bounded regardless of catalog/feature-space size."""
+    n, n_feat = f.shape
     padded = -(-n // block) * block
-    fp = jnp.pad(f, ((0, padded - n), (0, 0)))
+    feat_padded = -(-n_feat // feature_block) * feature_block
+    fp = jnp.pad(f, ((0, padded - n), (0, feat_padded - n_feat)))
 
     def one_block(i, acc):
         rows = jax.lax.dynamic_slice_in_dim(fp, i * block, block)
-        d = jnp.sum(jnp.abs(rows[:, None, :] - fp[None, :, :]), axis=-1)
+
+        def one_feature_chunk(j, partial_l1):
+            rc = jax.lax.dynamic_slice_in_dim(rows, j * feature_block,
+                                              feature_block, axis=1)
+            fc = jax.lax.dynamic_slice_in_dim(fp, j * feature_block,
+                                              feature_block, axis=1)
+            return partial_l1 + jnp.sum(
+                jnp.abs(rc[:, None, :] - fc[None, :, :]), axis=-1)
+
+        d = jax.lax.fori_loop(0, feat_padded // feature_block,
+                              one_feature_chunk,
+                              jnp.zeros((block, padded), fp.dtype))
         return jax.lax.dynamic_update_slice_in_dim(acc, d, i * block, 0)
 
     acc = jnp.zeros((padded, padded), f.dtype)

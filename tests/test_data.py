@@ -256,3 +256,70 @@ def test_custom_order_holdout_selects_latest():
         assert row["timestamp"] == latest.loc[raw_user]
     # training rows of each holdout user are strictly earlier or equal
     assert len(holdout) == holdout["userid"].nunique()
+
+
+def test_fractional_holdout_takes_top_fraction():
+    """Regression: fractional holdout must hold out `frac` of each user's
+    top-rated items (was inverted via a global-fraction path)."""
+    import numpy as np
+    import pandas as pd
+    from polara_tpu.data import RecommenderData
+
+    rows = [(u, i, ((u + i) % 10) + 1) for u in range(5) for i in range(10)]
+    events = pd.DataFrame(rows, columns=["userid", "movieid", "rating"])
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 0.2
+    data.prepare()
+
+    holdout = data.test.holdout
+    assert len(holdout) == 10  # 20% of 50
+    assert holdout.groupby("userid").size().eq(2).all()
+    # top-rated items are the held-out ones
+    assert (holdout["rating"] >= 9).all()  # each user holds out its two top ratings
+    assert len(data.training) == 40
+
+
+def test_fractional_holdout_zero_rounding_keeps_group():
+    """A user whose rounded fraction is 0 items loses nothing."""
+    import pandas as pd
+    from polara_tpu.data import RecommenderData
+
+    rows = [(0, i, i + 1) for i in range(10)] + [(1, 8, 1), (1, 9, 2)]
+    events = pd.DataFrame(rows, columns=["userid", "movieid", "rating"])
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 0.2
+    data.prepare()
+    holdout = data.test.holdout
+    # user 1: round(0.2*2) = 0 -> nothing held out, user keeps training
+    assert 1 not in set(
+        data.get_entity_index("userid").set_index("new")
+        .loc[holdout["userid"].unique(), "old"]
+        if len(holdout) else [])
+    assert len(holdout) == 2  # only user 0 contributes round(0.2*10)=2
+
+
+def test_tensor_mode_threshold_filters_by_feedback():
+    """Regression: tensor-mode feedback_threshold must act on ratings,
+    not the all-ones value vector."""
+    import numpy as np
+    import pandas as pd
+    from polara_tpu.data import RecommenderData
+
+    rows = [(u, i, 1 + (u + i) % 5) for u in range(6) for i in range(8)]
+    events = pd.DataFrame(rows, columns=["userid", "movieid", "rating"])
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.prepare_training_only()
+    idx, val, shp = data.to_coo(tensor_mode=True, feedback_threshold=4)
+    assert len(val) > 0
+    assert (val == 1).all()
+    # only levels for ratings >= 4 remain, reindexed to 0..k-1
+    kept = events[events["rating"] >= 4]
+    assert len(idx) == len(kept)
+    assert shp[2] == kept["rating"].nunique()
