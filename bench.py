@@ -101,6 +101,8 @@ def main():
         timings.append(time.perf_counter() - t0)
     best = min(timings)
     log(f"timings: {[f'{t:.3f}' for t in timings]}")
+    log(f"scored users/sec at top-{TOPK} (incl. factorization): "
+        f"{N_USERS / best:,.0f}")
 
     print(json.dumps({
         "metric": "ml10m_puresvd50_build_plus_score_top10",
