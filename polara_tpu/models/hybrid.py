@@ -387,13 +387,16 @@ class HybridSVD(CholeskyFactorsMixin, SVDModel):
             self.factors[f"{itemid}_projector_right"] = vr[:, :rank]
 
     def build(self, *args, **kwargs):
+        from polara_tpu import config as defaults
         coo = self.get_training_matrix()
         cholesky_items = self.item_cholesky_factor
         cholesky_users = self.user_cholesky_factor
+        budget = int(defaults.get_default("hbm_score_budget_gb") * 2**30)
         operator = hybrid_operator(
             coo,
             cholesky_users.L if cholesky_users is not None else None,
-            cholesky_items.L if cholesky_items is not None else None)
+            cholesky_items.L if cholesky_items is not None else None,
+            dense_budget_bytes=budget)
         super().build(*args, operator=operator, **kwargs)
         self.build_item_projector(self.factors[self.data.fields.itemid])
 

@@ -65,35 +65,54 @@ class CholeskyFactor:
 #  hybrid/models.py:368-384)
 
 def _hyb_mm(operands, x, out_dim):
-    rows, cols, vals, l_user, l_item = operands
+    rows, cols, vals, dense_r, l_user, l_item = operands
     v = l_item @ x if l_item is not None else x
-    y = jax.ops.segment_sum(vals[:, None] * v[cols], rows,
-                            num_segments=out_dim)
+    if dense_r is not None:
+        y = dense_r @ v
+    else:
+        y = jax.ops.segment_sum(vals[:, None] * v[cols], rows,
+                                num_segments=out_dim)
     if l_user is not None:
         y = l_user.T @ y
     return y
 
 
 def _hyb_rmm(operands, x, out_dim):
-    rows, cols, vals, l_user, l_item = operands
+    rows, cols, vals, dense_r, l_user, l_item = operands
     v = l_user @ x if l_user is not None else x
-    y = jax.ops.segment_sum(vals[:, None] * v[rows], cols,
-                            num_segments=out_dim)
+    if dense_r is not None:
+        y = dense_r.T @ v
+    else:
+        y = jax.ops.segment_sum(vals[:, None] * v[rows], cols,
+                                num_segments=out_dim)
     if l_item is not None:
         y = l_item.T @ y
     return y
 
 
 def hybrid_operator(coo_matrix, l_user: Optional[jax.Array],
-                    l_item: Optional[jax.Array]) -> MatmulOperator:
+                    l_item: Optional[jax.Array],
+                    dense_budget_bytes: Optional[int] = None
+                    ) -> MatmulOperator:
     """Operator for ``L_u^T R L_i`` with either factor optional.
 
     ``None`` factors are genuinely absent (no wasted identity matmuls);
-    they ride in the pytree as static ``None`` leaves.
+    they ride in the pytree as static ``None`` leaves.  When the ratings
+    block fits ``dense_budget_bytes`` it is densified once so the inner
+    matmuls run on the MXU instead of the scatter-bound segment path.
     """
+    n_rows, n_cols = coo_matrix.shape
+    itemsize = jnp.dtype(coo_matrix.vals.dtype).itemsize
+    dense_r = None
+    if dense_budget_bytes is not None \
+            and n_rows * n_cols * itemsize <= dense_budget_bytes:
+        dense_r = coo_matrix.to_dense()
+        operands = (None, None, coo_matrix.vals, dense_r, l_user, l_item)
+    else:
+        operands = (coo_matrix.rows, coo_matrix.cols, coo_matrix.vals,
+                    dense_r, l_user, l_item)
     return MatmulOperator(
         shape=coo_matrix.shape,
         mm_fn=_hyb_mm, rmm_fn=_hyb_rmm,
-        operands=(coo_matrix.rows, coo_matrix.cols, coo_matrix.vals,
-                  l_user, l_item),
+        operands=operands,
         dtype=coo_matrix.vals.dtype)
