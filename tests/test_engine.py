@@ -122,3 +122,48 @@ def test_plotting_smoke(data):
     plotting.show_ranking(scores)
     plotting.show_hit_rates(scores)
     plotting.show_precision_recall(scores)
+
+
+def test_find_optimal_tucker_ranks(data):
+    from polara_tpu.evaluation.pipelines import find_optimal_tucker_ranks
+    from polara_tpu.models import CoffeeModel
+
+    model = CoffeeModel(data)
+    model.verbose = False
+    grids = ([3, 4], [3, 4], [2])  # per-mode candidate ranks
+    best, scores = find_optimal_tucker_ranks(
+        model, grids, target_metric="arhr", return_scores=True)
+    assert best[0] in grids[0] and best[1] in grids[1] and best[2] in grids[2]
+    assert len(scores) == 4  # feasible combinations
+
+
+def test_mml_command_building(tmp_path, data):
+    from polara_tpu.models.external.mymedialite import MyMediaLiteWrapper
+
+    data.name = "unit"
+    model = MyMediaLiteWrapper("/opt/mml", str(tmp_path), "BPRMF", data)
+    model.rank = 7
+    command = model._run_external(debug=True)
+    assert "--recommender=BPRMF" in command
+    assert "num_factors=7" in command
+    assert str(tmp_path) in command
+    assert "/opt/mml/item_recommendation" in command
+
+    model._save_to_disk()
+    import pandas as pd
+    written = pd.read_csv(model.train_data_path, header=None)
+    assert len(written) > 0
+
+
+def test_evaluate_topk_rollback(data):
+    from polara_tpu.models import PopularityModel
+    model = PopularityModel(data)
+    model.verbose = False
+    model.topk = 10
+    full = model.recommendations.copy()
+    small = model.evaluate("relevance", topk=3, simple_rates=True)
+    assert model.topk == 10  # unchanged
+    np.testing.assert_array_equal(model.recommendations, full)  # cached
+    big = model.evaluate("relevance", topk=20, simple_rates=True)
+    assert model.topk == 20  # grew to cover the request
+    assert model.recommendations.shape[1] == 20
