@@ -221,3 +221,54 @@ def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
             break
     return HooiResult(u0=u0, u1=u1, u2=u2, core=core,
                       growth_history=tuple(history))
+
+
+def sharded_score_topk_2d(item_factors: jax.Array, profiles: jax.Array,
+                          topk: int, mesh: Mesh) -> jax.Array:
+    """Tensor-parallel scoring over a 2-D (users × model) mesh.
+
+    Users shard over the first mesh axis (data parallel); the item
+    catalog shards over the second (model/tensor parallel).  Each device
+    scores its (user-shard × item-shard) block, takes a LOCAL top-k,
+    offsets local columns to global item ids, all-gathers the k-candidate
+    panels across the model axis, and reduces to the final top-k — the
+    classic two-stage distributed top-k, with only (k · n_model) floats
+    crossing ICI per user row.
+
+    Seen-item filtering uses the local profile block (seen scores to
+    -inf), matching ``mask_and_topk`` semantics for k ≤ unseen items.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    users_axis, model_axis = mesh.axis_names[0], mesh.axis_names[1]
+    n_items = item_factors.shape[0]
+    n_model = mesh.shape[model_axis]
+    if n_items % n_model:
+        raise ValueError(f"item axis {n_items} must divide the model "
+                         f"axis size {n_model}")
+
+    def local_step(v_local, profiles_local):
+        # profiles_local: (u_loc, n_items) sharded cols; v_local: (i_loc, r)
+        shard = jax.lax.axis_index(model_axis)
+        i_loc = v_local.shape[0]
+        col_base = shard * i_loc
+        # profile columns matching this shard's item slice
+        local_profile = jax.lax.dynamic_slice_in_dim(
+            profiles_local, col_base, i_loc, axis=1)
+        proj = local_profile @ v_local         # (u_loc, r) partial
+        proj = jax.lax.psum(proj, model_axis)  # full projection
+        scores = proj @ v_local.T              # (u_loc, i_loc)
+        scores = jnp.where(local_profile > 0, -jnp.inf, scores)
+        vals, idx = jax.lax.top_k(scores, min(topk, i_loc))
+        idx = idx + col_base
+        # gather candidate panels from every model shard
+        vals = jax.lax.all_gather(vals, model_axis, axis=1, tiled=True)
+        idx = jax.lax.all_gather(idx, model_axis, axis=1, tiled=True)
+        final_vals, pos = jax.lax.top_k(vals, topk)
+        return jnp.take_along_axis(idx, pos, axis=1).astype(jnp.int32)
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(model_axis, None), P(users_axis, None)),
+        out_specs=P(users_axis, None), check_rep=False)
+    return jax.jit(step)(item_factors, profiles)

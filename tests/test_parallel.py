@@ -128,3 +128,30 @@ def test_distributed_hooi_matches_single_device():
                                         jnp.asarray(b)) < 1e-6
     np.testing.assert_allclose(np.asarray(dist.core),
                                np.asarray(single.core), atol=1e-6)
+
+
+def test_sharded_score_topk_2d_matches_single_device():
+    import numpy as np
+    import jax.numpy as jnp
+    from polara_tpu.ops.topk import mask_and_topk
+    from polara_tpu.parallel.distributed import sharded_score_topk_2d
+    from polara_tpu.runtime.mesh import make_mesh
+
+    rs = np.random.RandomState(0)
+    n_users, n_items, rank, topk = 32, 64, 6, 5
+    v = jnp.asarray(rs.randn(n_items, rank), jnp.float32)
+    profiles = jnp.asarray(
+        (rs.rand(n_users, n_items) < 0.2) * rs.randint(1, 6,
+                                                       (n_users, n_items)),
+        jnp.float32)
+    mesh = make_mesh(n_devices=8, axes=("users", "model"), shape=(2, 4))
+    got = np.asarray(sharded_score_topk_2d(v, profiles, topk, mesh))
+
+    seen_rows, seen_cols = np.nonzero(np.asarray(profiles))
+    scores = (profiles @ v) @ v.T
+    ref = np.asarray(mask_and_topk(
+        scores, jnp.asarray(seen_rows, jnp.int32),
+        jnp.asarray(seen_cols, jnp.int32),
+        jnp.ones(len(seen_rows), bool), topk, filter_seen=True,
+        n_valid_cols=n_items))
+    np.testing.assert_array_equal(got, ref)
