@@ -133,3 +133,28 @@ def test_driver_fused_matches_xla_coffee(small_data):
     finally:
         defaults.set_default("pallas_scoring", saved)
     np.testing.assert_array_equal(fused_recs, xla_recs)
+
+
+@pytest.mark.parametrize("seed,n_users,n_items,rank,k,nnz", [
+    (10, 8, 100, 4, 10, 50),         # tiny catalog, single tile
+    (11, 33, 5000, 16, 20, 4000),    # odd user count, two tiles
+    (12, 130, 9000, 8, 1, 20_000),   # k=1, crosses block_users
+    (13, 16, 4096, 8, 128, 1000),    # k == CARRY_WIDTH, exact tile fit
+    (14, 24, 300, 5, 7, 24 * 250),   # dense seen sets (~83% seen)
+])
+def test_kernel_parity_shapes(seed, n_users, n_items, rank, k, nnz):
+    rs = np.random.RandomState(seed)
+    proj = jnp.asarray(rs.randn(n_users, rank), jnp.float32)
+    items = jnp.asarray(rs.randn(n_items, rank), jnp.float32)
+    pairs = np.unique(np.stack(
+        [rs.randint(0, n_users, nnz), rs.randint(0, n_items, nnz)], 1),
+        axis=0)
+    rows, cols = pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32)
+    bits = jnp.asarray(pack_seen_bits(rows, cols, n_users, n_items))
+    got = np.asarray(fused_score_topk(proj, items, bits, k,
+                                      interpret=INTERP))
+    ref = np.asarray(mask_and_topk(
+        proj @ items.T, jnp.asarray(rows), jnp.asarray(cols),
+        jnp.ones(len(rows), bool), k, filter_seen=True,
+        n_valid_cols=n_items))
+    np.testing.assert_array_equal(got, ref)
