@@ -91,14 +91,30 @@ class CoffeeModel(RecommenderModel):
         return 1 if feedback_factor is None else 1  # rank-space scoring
 
     def build(self):
+        from polara_tpu import config as defaults
         idx, val, shp = self.data.to_coo(tensor_mode=True)
+        budget = int(defaults.get_default("hbm_score_budget_gb") * 2**30)
+        itemsize = jnp.dtype(self.compute_dtype).itemsize
+
+        # HBM-resident dense tensor, cached across rebuilds (rank sweeps)
+        dense_tensor = None
+        if int(np.prod(shp)) * itemsize <= budget:
+            dense_tensor = self._training_matrix_cache.get("coffee_tensor")
+            if dense_tensor is None or dense_tensor.shape != tuple(shp):
+                from polara_tpu.ops.sparse import dense_from_coo
+                dense_tensor = dense_from_coo(
+                    np.asarray(idx), np.asarray(val, np.float64), shp,
+                    dtype=self.compute_dtype)
+                self._training_matrix_cache["coffee_tensor"] = dense_tensor
+
         with track_time(self.training_time, verbose=self.verbose,
                         model=self.method):
             result = hooi(idx, val, shp, self.mlrank,
                           num_iters=self.num_iters,
                           growth_tol=self.growth_tol, seed=self.seed,
                           dtype=self.compute_dtype,
-                          verbose=self.show_output)
+                          verbose=self.show_output,
+                          dense_tensor=dense_tensor)
             jax.block_until_ready(result.core)
         userid, itemid, feedback = self.data.fields
         self.factors[userid] = result.u0

@@ -33,11 +33,18 @@ class HooiResult(NamedTuple):
     growth_history: tuple
 
 
-def _left_singular_vectors(m: jax.Array, k: int) -> Tuple[jax.Array,
-                                                          jax.Array]:
+def _left_singular_vectors(m: jax.Array, k: int,
+                           qr_method: str = "householder"
+                           ) -> Tuple[jax.Array, jax.Array]:
     """Top-k left singular vectors of a tall-skinny matrix (QR + small
-    SVD); returns (U_k, all singular values)."""
-    q, r = jnp.linalg.qr(m)
+    SVD); returns (U_k, all singular values).  On TPU the panel QR runs
+    as CholeskyQR2 (MXU matmuls instead of serialized Householder)."""
+    if qr_method == "cholesky2":
+        from polara_tpu.ops.rsvd import cholesky_qr2
+        # tiny jitter guards the Gram against rank-deficient unfoldings
+        q, r = cholesky_qr2(m, eps=1e-12)
+    else:
+        q, r = jnp.linalg.qr(m)
     ur, s, _ = jnp.linalg.svd(r)
     return q @ ur[:, :k], s
 
@@ -58,21 +65,23 @@ def _entity_feedback_sums(seg_entity: jax.Array, fb: jax.Array,
     return flat.reshape(n_entity, n_fb, factor_rows.shape[1])
 
 
-@partial(jax.jit, static_argnames=("shape", "core_shape", "axis_name"))
+@partial(jax.jit, static_argnames=("shape", "core_shape", "axis_name",
+                                   "qr_method"))
 def _hooi_sweep(i0, i1, i2, val, u0, u1, u2, shape, core_shape,
-                axis_name: Optional[str] = None):
+                axis_name: Optional[str] = None,
+                qr_method: str = "householder"):
     n0, n1, n2 = shape
     r0, r1, r2 = core_shape
 
     # mode-0 update: unfold = A x2 u2, A[u,f,:] = sum val*u1[i1]
     a = _entity_feedback_sums(i0, i2, val, u1[i1], n0, n2, axis_name)
     m0 = jnp.einsum("ufa,fs->uas", a, u2).reshape(n0, -1)
-    u0, _ = _left_singular_vectors(m0, r0)
+    u0, _ = _left_singular_vectors(m0, r0, qr_method)
 
     # mode-1 update with the refreshed u0
     b = _entity_feedback_sums(i1, i2, val, u0[i0], n1, n2, axis_name)
     m1 = jnp.einsum("ifb,fs->ibs", b, u2).reshape(n1, -1)
-    u1, _ = _left_singular_vectors(m1, r1)
+    u1, _ = _left_singular_vectors(m1, r1, qr_method)
 
     # mode-2 update with refreshed u0, u1; also yields the core
     a2 = _entity_feedback_sums(i0, i2, val, u1[i1], n0, n2, axis_name)
@@ -88,19 +97,20 @@ def _hooi_sweep(i0, i1, i2, val, u0, u1, u2, shape, core_shape,
 def hooi(idx: np.ndarray, val: np.ndarray, shape: Tuple[int, int, int],
          core_shape: Tuple[int, int, int], num_iters: int = 25,
          growth_tol: float = 1e-4, seed: Optional[int] = None,
-         dtype=jnp.float32, verbose: bool = False) -> HooiResult:
+         dtype=jnp.float32, verbose: bool = False,
+         qr_method: Optional[str] = None,
+         dense_budget_bytes: Optional[int] = None,
+         dense_tensor=None) -> HooiResult:
     """HOOI with QR-random init and core-growth convergence
     (reference ``tensor.py:57-88``): stop when the relative growth of the
     core norm falls below ``growth_tol``."""
+    if qr_method is None:
+        qr_method = ("cholesky2" if jax.default_backend() == "tpu"
+                     else "householder")
     n0, n1, n2 = (int(s) for s in shape)
     r0, r1, r2 = core_shape
     if not (r0 <= n0 and r1 <= n1 and r2 <= n2):
         raise ValueError(f"core shape {core_shape} exceeds tensor {shape}")
-
-    i0 = jnp.asarray(idx[:, 0], jnp.int32)
-    i1 = jnp.asarray(idx[:, 1], jnp.int32)
-    i2 = jnp.asarray(idx[:, 2], jnp.int32)
-    vals = jnp.asarray(val, dtype)
 
     key = jax.random.key(0 if seed is None else seed)
     k1, k2 = jax.random.split(key)
@@ -109,13 +119,21 @@ def hooi(idx: np.ndarray, val: np.ndarray, shape: Tuple[int, int, int],
     u0 = jnp.zeros((n0, r0), dtype)
     core = jnp.zeros(core_shape, dtype)
 
+    def coo_device_arrays():
+        return (jnp.asarray(idx[:, 0], jnp.int32),
+                jnp.asarray(idx[:, 1], jnp.int32),
+                jnp.asarray(idx[:, 2], jnp.int32),
+                jnp.asarray(val, dtype))
+
     if verbose:
         # host-stepped loop so growth can be printed per sweep
+        i0, i1, i2, vals = coo_device_arrays()
         norm_old = 0.0
         history = []
         for step in range(num_iters):
             u0, u1, u2, core, core_norm = _hooi_sweep(
-                i0, i1, i2, vals, u0, u1, u2, (n0, n1, n2), (r0, r1, r2))
+                i0, i1, i2, vals, u0, u1, u2, (n0, n1, n2),
+                (r0, r1, r2), qr_method=qr_method)
             norm_new = float(core_norm)
             growth = (norm_new - norm_old) / norm_new
             norm_old = norm_new
@@ -126,17 +144,36 @@ def hooi(idx: np.ndarray, val: np.ndarray, shape: Tuple[int, int, int],
         return HooiResult(u0=u0, u1=u1, u2=u2, core=core,
                           growth_history=tuple(history))
 
-    u0, u1, u2, core, growths, n_steps = _hooi_until(
-        i0, i1, i2, vals, u0, u1, u2, (n0, n1, n2), (r0, r1, r2),
-        num_iters, float(growth_tol))
+    itemsize = jnp.dtype(dtype).itemsize
+    use_dense = dense_tensor is not None or (
+        dense_budget_bytes is not None
+        and n0 * n1 * n2 * itemsize <= dense_budget_bytes)
+    if use_dense:
+        if dense_tensor is not None:
+            d = dense_tensor
+        else:
+            from polara_tpu.ops.sparse import dense_from_coo
+            d = dense_from_coo(np.asarray(idx),
+                               np.asarray(val, np.float64),
+                               (n0, n1, n2), dtype=dtype)
+        u0, u1, u2, core, growths, n_steps = _hooi_until_dense(
+            d, u0, u1, u2, (r0, r1, r2), num_iters,
+            float(growth_tol), qr_method)
+    else:
+        i0, i1, i2, vals = coo_device_arrays()
+        u0, u1, u2, core, growths, n_steps = _hooi_until(
+            i0, i1, i2, vals, u0, u1, u2, (n0, n1, n2), (r0, r1, r2),
+            num_iters, float(growth_tol), qr_method)
     history = tuple(np.asarray(growths)[: int(n_steps)].tolist())
     return HooiResult(u0=u0, u1=u1, u2=u2, core=core,
                       growth_history=history)
 
 
-@partial(jax.jit, static_argnames=("shape", "core_shape", "num_iters"))
+@partial(jax.jit, static_argnames=("shape", "core_shape", "num_iters",
+                                   "qr_method"))
 def _hooi_until(i0, i1, i2, vals, u0, u1, u2, shape, core_shape,
-                num_iters: int, growth_tol: float):
+                num_iters: int, growth_tol: float,
+                qr_method: str = "householder"):
     """Whole HOOI convergence loop on device (one dispatch instead of a
     host sync per sweep — the sweep itself is milliseconds on TPU, so
     tunnel/host latency dominated the reference-style loop)."""
@@ -150,7 +187,8 @@ def _hooi_until(i0, i1, i2, vals, u0, u1, u2, shape, core_shape,
     def body(carry):
         u0, u1, u2, core, norm_old, growths, step, _ = carry
         u0, u1, u2, core, core_norm = _hooi_sweep.__wrapped__(
-            i0, i1, i2, vals, u0, u1, u2, shape, core_shape)
+            i0, i1, i2, vals, u0, u1, u2, shape, core_shape,
+            qr_method=qr_method)
         growth = (core_norm - norm_old) / core_norm
         growths = growths.at[step].set(growth)
         return (u0, u1, u2, core, core_norm, growths, step + 1,
@@ -215,3 +253,56 @@ def tucker_als(idx, val, shape, mlrank, *args, **kwargs):
     implementation in ``polara/lib/hosvd.py:27-89``; here it is the same
     device solver)."""
     return hooi(idx, val, shape, mlrank, *args, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Dense-tensor path: when n0*n1*n2 fits HBM, the ttm contractions become
+# plain MXU einsums over the dense (users, items, levels) block — no
+# per-event segment scatters at all.
+# --------------------------------------------------------------------------
+
+def _dense_sweep(d, u0, u1, u2, core_shape, qr_method):
+    r0, r1, r2 = core_shape
+    n0, n1, n2 = d.shape
+
+    a = jnp.einsum("uif,ir->ufr", d, u1)                  # (n0, f, r1)
+    m0 = jnp.einsum("ufa,fs->uas", a, u2).reshape(n0, -1)
+    u0, _ = _left_singular_vectors(m0, r0, qr_method)
+
+    b = jnp.einsum("uif,ur->ifr", d, u0)                  # (n1, f, r0)
+    m1 = jnp.einsum("ifb,fs->ibs", b, u2).reshape(n1, -1)
+    u1, _ = _left_singular_vectors(m1, r1, qr_method)
+
+    a2 = jnp.einsum("uif,ir->ufr", d, u1)
+    m2 = jnp.einsum("ufa,ub->fab", a2, u0).reshape(n2, -1)
+    uu, s, _ = jnp.linalg.svd(m2, full_matrices=False)
+    u2 = uu[:, :r2]
+    core_norm = jnp.linalg.norm(s[:r2])
+    core = jnp.einsum("ua,ufb,fc->abc", u0, a2, u2)
+    return u0, u1, u2, core, core_norm
+
+
+@partial(jax.jit, static_argnames=("core_shape", "num_iters", "qr_method"))
+def _hooi_until_dense(d, u0, u1, u2, core_shape, num_iters: int,
+                      growth_tol: float, qr_method: str):
+    core0 = jnp.zeros(core_shape, u1.dtype)
+    growths0 = jnp.full((num_iters,), jnp.nan, u1.dtype)
+
+    def cond(carry):
+        *_, step, done = carry
+        return jnp.logical_and(~done, step < num_iters)
+
+    def body(carry):
+        u0, u1, u2, core, norm_old, growths, step, _ = carry
+        u0, u1, u2, core, core_norm = _dense_sweep(d, u0, u1, u2,
+                                                   core_shape, qr_method)
+        growth = (core_norm - norm_old) / core_norm
+        growths = growths.at[step].set(growth)
+        return (u0, u1, u2, core, core_norm, growths, step + 1,
+                growth < growth_tol)
+
+    init = (u0, u1, u2, core0, jnp.asarray(0.0, u1.dtype), growths0,
+            jnp.asarray(0), jnp.asarray(False))
+    u0, u1, u2, core, _, growths, n_steps, _ = jax.lax.while_loop(
+        cond, body, init)
+    return u0, u1, u2, core, growths, n_steps

@@ -236,3 +236,26 @@ def test_rowwise_norm_optimizers_learn(optimizer):
              num_epochs=15, tol=0.0, batch_size=256, optimizer=optimizer,
              seed=0, iter_errors=hist)
     assert hist[-1] < hist[0]
+
+
+def test_hooi_dense_path_matches_segment_path():
+    import numpy as np
+    import jax.numpy as jnp
+    from polara_tpu.ops.hooi import hooi
+    from polara_tpu.ops.rsvd import principal_angles_max_sin
+
+    rs = np.random.RandomState(0)
+    idx = np.unique(np.stack([rs.randint(0, 40, 2000),
+                              rs.randint(0, 25, 2000),
+                              rs.randint(0, 4, 2000)], 1), axis=0)
+    val = np.ones(len(idx))
+    shape, core_shape = (40, 25, 4), (6, 5, 2)
+    seg = hooi(idx, val, shape, core_shape, num_iters=8, growth_tol=0.0,
+               seed=0, dtype=jnp.float64)
+    dense = hooi(idx, val, shape, core_shape, num_iters=8, growth_tol=0.0,
+                 seed=0, dtype=jnp.float64, dense_budget_bytes=1 << 30)
+    for a, b in [(seg.u0, dense.u0), (seg.u1, dense.u1), (seg.u2, dense.u2)]:
+        assert principal_angles_max_sin(jnp.asarray(a),
+                                        jnp.asarray(b)) < 1e-6
+    np.testing.assert_allclose(np.asarray(seg.core), np.asarray(dense.core),
+                               atol=1e-6)
