@@ -531,6 +531,11 @@ class RecommenderData:
         userid, itemid, feedback = self.fields
         training = self.training
         if tensor_mode:
+            # user/item dims come from the FULL training split so the
+            # tensor stays aligned with the entity indexes even when
+            # thresholding drops all events of a trailing entity
+            n_users = int(training[userid].max()) + 1
+            n_items = int(training[itemid].max()) + 1
             # threshold on the raw feedback BEFORE level encoding — the
             # tensor values are all-ones level indicators
             if feedback_threshold is not None:
@@ -542,7 +547,7 @@ class RecommenderData:
             idx = np.hstack((training[[userid, itemid]].values,
                              fb_codes[:, np.newaxis]))
             val = np.ones(training.shape[0])
-            shp = tuple(idx.max(axis=0) + 1)
+            shp = (n_users, n_items, int(fb_codes.max()) + 1)
             return (idx.astype(np.intp),
                     np.ascontiguousarray(val, dtype=None), shp)
         idx = training[[userid, itemid]].values

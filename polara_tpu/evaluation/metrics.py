@@ -253,13 +253,12 @@ def get_rr_scores(recommendations, holdout, key, target, **kwargs):
 
 
 def get_arhr_score(recommendations, holdout, key, target, **kwargs):
-    return get_rr_scores(recommendations, holdout, key, target,
-                         **kwargs).arhr
+    return _family(recommendations, holdout, key, target,
+                   **kwargs)["arhr"]
 
 
 def get_mrr_score(recommendations, holdout, key, target, **kwargs):
-    return get_rr_scores(recommendations, holdout, key, target,
-                         **kwargs).mrr
+    return _family(recommendations, holdout, key, target, **kwargs)["mrr"]
 
 
 def get_map_score(recommendations, holdout, key, target, **kwargs):

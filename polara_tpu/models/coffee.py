@@ -96,9 +96,11 @@ class CoffeeModel(RecommenderModel):
         budget = int(defaults.get_default("hbm_score_budget_gb") * 2**30)
         itemsize = jnp.dtype(self.compute_dtype).itemsize
 
-        # HBM-resident dense tensor, cached across rebuilds (rank sweeps)
+        # HBM-resident dense tensor, cached across rebuilds (rank sweeps);
+        # the verbose host-stepped loop uses the segment path, so skip
+        # the (large) tensor build when per-sweep output is requested
         dense_tensor = None
-        if int(np.prod(shp)) * itemsize <= budget:
+        if not self.show_output and int(np.prod(shp)) * itemsize <= budget:
             dense_tensor = self._training_matrix_cache.get("coffee_tensor")
             if dense_tensor is None or dense_tensor.shape != tuple(shp):
                 from polara_tpu.ops.sparse import dense_from_coo

@@ -70,13 +70,25 @@ class SVDModel(RecommenderModel):
             matrix = self.get_training_matrix()
             # Prefer the dense HBM-resident operator: the COO segment-sum
             # matmul is scatter-bound on TPU, while rating matrices at
-            # research scale fit HBM densely (SURVEY §7 "sparse-on-TPU")
+            # research scale fit HBM densely (SURVEY §7 "sparse-on-TPU").
+            # The densified block is cached across rebuilds, keyed by the
+            # scaling signature so ScaledSVD sweeps stay correct (one
+            # entry at a time — sweeps must not accumulate dense blocks).
             budget = defaults.get_default("hbm_score_budget_gb") * 2**30
             n_rows, n_cols = matrix.shape
             dense_bytes = n_rows * n_cols * jnp.dtype(self.compute_dtype).itemsize
             if dense_bytes <= budget:
                 from polara_tpu.ops.sparse import dense_operator
-                svd_matrix = dense_operator(matrix.to_dense())
+                key = ("svd_dense",) + self._scaling_signature()
+                dense = self._training_matrix_cache.get(key)
+                if dense is None:
+                    for stale in [k for k in self._training_matrix_cache
+                                  if isinstance(k, tuple)
+                                  and k and k[0] == "svd_dense"]:
+                        del self._training_matrix_cache[stale]
+                    dense = matrix.to_dense()
+                    self._training_matrix_cache[key] = dense
+                svd_matrix = dense_operator(dense)
             else:
                 svd_matrix = matrix.operator()
 
@@ -93,6 +105,11 @@ class SVDModel(RecommenderModel):
         self.factors[userid] = result.u if "u" in return_factors else None
         self.factors[itemid] = result.v
         self.factors["singular_values"] = result.s
+
+    def _scaling_signature(self) -> tuple:
+        """Cache key component for the densified training matrix
+        (ScaledMatrixMixin adds its scaling exponents)."""
+        return ()
 
     def score_params(self) -> dict:
         v = self.factors[self.data.fields.itemid]
@@ -151,6 +168,9 @@ class ScaledMatrixMixin:
             raise TypeError("scaled models need the COO training matrix")
         return rescale_coo(rescale_coo(matrix, self._row_scaling, axis=1),
                            self._col_scaling, axis=0)
+
+    def _scaling_signature(self) -> tuple:
+        return (float(self._row_scaling), float(self._col_scaling))
 
 
 @jax.jit

@@ -107,7 +107,7 @@ def hybrid_operator(coo_matrix, l_user: Optional[jax.Array],
     if dense_budget_bytes is not None \
             and n_rows * n_cols * itemsize <= dense_budget_bytes:
         dense_r = coo_matrix.to_dense()
-        operands = (None, None, coo_matrix.vals, dense_r, l_user, l_item)
+        operands = (None, None, None, dense_r, l_user, l_item)
     else:
         operands = (coo_matrix.rows, coo_matrix.cols, coo_matrix.vals,
                     dense_r, l_user, l_item)

@@ -185,12 +185,32 @@ def dense_from_coo(idx: np.ndarray, val: np.ndarray,
     if isinstance(idx, np.ndarray) and isinstance(val, np.ndarray):
         # densify on host: a flat bincount is orders of magnitude faster
         # than a device scatter over millions of events, and one bulk
-        # transfer beats per-event device work
-        flat = np.ravel_multi_index(
-            tuple(idx[:, d] for d in range(idx.shape[1])), shape)
-        out = np.bincount(flat, weights=val,
-                          minlength=int(np.prod(shape)))
-        return jnp.asarray(out.reshape(shape), dtype=dtype)
+        # transfer beats per-event device work.  bincount accumulates in
+        # f64, so big targets are processed in leading-dim blocks to cap
+        # the transient at ~512 MB instead of 2x the full dense size.
+        total = int(np.prod(shape))
+        max_f64_cells = 1 << 26
+        if total <= max_f64_cells:
+            flat = np.ravel_multi_index(
+                tuple(idx[:, d] for d in range(idx.shape[1])), shape)
+            out = np.bincount(flat, weights=val, minlength=total)
+            return jnp.asarray(out.reshape(shape), dtype=dtype)
+
+        out = np.zeros(shape, dtype=jnp.dtype(dtype))
+        inner = total // shape[0]
+        rows_per_block = max(1, max_f64_cells // inner)
+        lead = idx[:, 0]
+        inner_flat = np.ravel_multi_index(
+            tuple(idx[:, d] for d in range(1, idx.shape[1])), shape[1:]) \
+            if idx.shape[1] > 1 else np.zeros(len(idx), np.int64)
+        for lo in range(0, shape[0], rows_per_block):
+            hi = min(lo + rows_per_block, shape[0])
+            sel = (lead >= lo) & (lead < hi)
+            flat = (lead[sel] - lo) * inner + inner_flat[sel]
+            block = np.bincount(flat, weights=val[sel],
+                                minlength=(hi - lo) * inner)
+            out[lo:hi] = block.reshape((hi - lo,) + shape[1:])
+        return jnp.asarray(out)
     out = jnp.zeros(shape, dtype=dtype)
     return out.at[tuple(jnp.asarray(idx[:, d]) for d in
                         range(idx.shape[1]))].add(jnp.asarray(val, dtype))

@@ -238,14 +238,30 @@ def sharded_score_topk_2d(item_factors: jax.Array, profiles: jax.Array,
     Seen-item filtering uses the local profile block (seen scores to
     -inf), matching ``mask_and_topk`` semantics for k ≤ unseen items.
     """
-    from jax.experimental.shard_map import shard_map
-
     users_axis, model_axis = mesh.axis_names[0], mesh.axis_names[1]
     n_items = item_factors.shape[0]
     n_model = mesh.shape[model_axis]
     if n_items % n_model:
-        raise ValueError(f"item axis {n_items} must divide the model "
-                         f"axis size {n_model}")
+        raise ValueError(f"the model axis size {n_model} must divide "
+                         f"the item axis {n_items}")
+    step = _sharded_topk_2d_step(mesh, topk)
+    return step(item_factors, profiles)
+
+
+_topk_2d_cache: dict = {}
+
+
+def _sharded_topk_2d_step(mesh: Mesh, topk: int):
+    """Compiled 2-D scoring step, cached per (mesh, topk) so repeated
+    calls reuse one executable."""
+    key = (mesh, topk)
+    cached = _topk_2d_cache.get(key)
+    if cached is not None:
+        return cached
+
+    from jax.experimental.shard_map import shard_map
+
+    users_axis, model_axis = mesh.axis_names[0], mesh.axis_names[1]
 
     def local_step(v_local, profiles_local):
         # profiles_local: (u_loc, n_items) sharded cols; v_local: (i_loc, r)
@@ -267,8 +283,9 @@ def sharded_score_topk_2d(item_factors: jax.Array, profiles: jax.Array,
         final_vals, pos = jax.lax.top_k(vals, topk)
         return jnp.take_along_axis(idx, pos, axis=1).astype(jnp.int32)
 
-    step = shard_map(
+    step = jax.jit(shard_map(
         local_step, mesh=mesh,
         in_specs=(P(model_axis, None), P(users_axis, None)),
-        out_specs=P(users_axis, None), check_rep=False)
-    return jax.jit(step)(item_factors, profiles)
+        out_specs=P(users_axis, None), check_rep=False))
+    _topk_2d_cache[key] = step
+    return step

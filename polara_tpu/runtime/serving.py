@@ -96,6 +96,8 @@ class ServingBundle:
         {item: rating} dicts) without materializing dense profiles —
         the low-bandwidth request path."""
         n = len(events)
+        if n == 0:
+            return np.empty((0, self.topk), dtype=np.int32)
         rows = []
         for user_events in events:
             if isinstance(user_events, dict):
@@ -135,11 +137,23 @@ class ServingBundle:
 
         ``profiles``: (n, n_items) array, or a sequence of per-user
         item-id lists / {item: rating} dicts (routed through the
-        low-bandwidth event path).
+        low-bandwidth event path).  A row is treated as an event list
+        only when it cannot be a dense profile row (a dict, or a short
+        list) — pass dense matrices as arrays and prefer
+        :meth:`recommend_events` for explicit event requests.
         """
-        if not isinstance(profiles, np.ndarray) \
-                and not isinstance(profiles, jax.Array):
-            return self.recommend_events(profiles)
+        if not isinstance(profiles, (np.ndarray, jax.Array)):
+            rows = list(profiles)
+            looks_like_events = rows and all(
+                isinstance(r, dict)
+                or (hasattr(r, "__len__") and len(r) != self.n_items)
+                for r in rows)
+            if not rows or looks_like_events:
+                return self.recommend_events(rows)
+            raise ValueError(
+                "ambiguous request: rows of length n_items could be "
+                "dense profiles or event lists — pass a numpy array for "
+                "profiles, or call recommend_events() for event lists")
         profiles = np.asarray(profiles)
         if profiles.ndim == 1:
             profiles = profiles[None, :]

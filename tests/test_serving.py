@@ -70,3 +70,14 @@ def test_bundle_requires_built_model():
     model = SVDModel(data)
     with pytest.raises(ValueError, match="no item factors"):
         ServingBundle.from_model(model)
+
+
+def test_empty_and_ambiguous_requests(trained_model):
+    bundle = ServingBundle.from_model(trained_model, topk=4, batch_size=8)
+    empty = bundle.recommend([])
+    assert empty.shape == (0, 4)
+
+    # nested lists of exactly n_items entries are ambiguous -> explicit
+    dense_as_lists = [[0.0] * bundle.n_items]
+    with pytest.raises(ValueError, match="ambiguous"):
+        bundle.recommend(dense_as_lists)
