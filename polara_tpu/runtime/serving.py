@@ -21,9 +21,11 @@ from polara_tpu.runtime.checkpoint import load_factors, save_factors
 
 
 @partial(jax.jit, static_argnames=("topk", "filter_seen"))
-def _serve_step(item_factors: jax.Array, profiles: jax.Array,
-                topk: int, filter_seen: bool) -> jax.Array:
-    scores = (profiles @ item_factors) @ item_factors.T
+def _serve_step(right_panel: jax.Array, left_panel: jax.Array,
+                profiles: jax.Array, topk: int,
+                filter_seen: bool) -> jax.Array:
+    # SVD family: right == left == V; HybridSVD: right/left projectors
+    scores = (profiles @ right_panel) @ left_panel.T
     if filter_seen:
         scores = jnp.where(profiles > 0, -jnp.inf, scores)
     _, idx = jax.lax.top_k(scores, topk)
@@ -31,18 +33,19 @@ def _serve_step(item_factors: jax.Array, profiles: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("topk", "filter_seen"))
-def _serve_step_events(item_factors: jax.Array, item_ids: jax.Array,
-                       values: jax.Array, valid: jax.Array,
-                       topk: int, filter_seen: bool) -> jax.Array:
+def _serve_step_events(right_panel: jax.Array, left_panel: jax.Array,
+                       item_ids: jax.Array, values: jax.Array,
+                       valid: jax.Array, topk: int,
+                       filter_seen: bool) -> jax.Array:
     """Event-list request path: ships (ids, values) instead of dense
     profiles — two orders of magnitude less host→device traffic for
     typical interaction histories."""
-    v = item_factors
-    contrib = jnp.where(valid[..., None],
-                        values[..., None].astype(v.dtype) * v[item_ids],
-                        0.0)
+    contrib = jnp.where(
+        valid[..., None],
+        values[..., None].astype(right_panel.dtype)
+        * right_panel[item_ids], 0.0)
     proj = contrib.sum(axis=1)                       # (b, r)
-    scores = proj @ v.T                              # (b, n_items)
+    scores = proj @ left_panel.T                     # (b, n_items)
     if filter_seen:
         rows = jnp.broadcast_to(
             jnp.arange(item_ids.shape[0])[:, None], item_ids.shape)
@@ -61,8 +64,11 @@ class ServingBundle:
 
     def __init__(self, item_factors, topk: int = 10,
                  filter_seen: bool = True, batch_size: int = 256,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, left_panel=None):
         self.item_factors = jnp.asarray(item_factors, dtype)
+        self.left_panel = (jnp.asarray(left_panel, dtype)
+                           if left_panel is not None
+                           else self.item_factors)
         self.topk = int(topk)
         self.filter_seen = bool(filter_seen)
         self.batch_size = int(batch_size)
@@ -77,18 +83,25 @@ class ServingBundle:
         """Bundle a trained SVD-family/MF model (anything whose scoring
         is ``profiles @ V @ Vᵀ`` over item factors)."""
         itemid = model.data.fields.itemid
-        factors = model.factors.get(itemid)
+        left = None
+        factors = model.factors.get(f"{itemid}_projector_right")
+        if factors is not None:  # HybridSVD: asymmetric projectors
+            left = model.factors.get(f"{itemid}_projector_left")
+        else:
+            factors = model.factors.get(itemid)
         if factors is None:
             raise ValueError(f"{model.method} has no item factors; "
                              "build() first")
         return cls(factors, topk=topk if topk is not None else model.topk,
-                   filter_seen=model.filter_seen, **kwargs)
+                   filter_seen=model.filter_seen, left_panel=left,
+                   **kwargs)
 
     def warmup(self) -> None:
         """Trigger compilation ahead of the first request."""
         dummy = jnp.zeros((self.batch_size, self.n_items),
                           self.item_factors.dtype)
-        jax.block_until_ready(_serve_step(self.item_factors, dummy,
+        jax.block_until_ready(_serve_step(self.item_factors,
+                                          self.left_panel, dummy,
                                           self.topk, self.filter_seen))
 
     def recommend_events(self, events: Sequence) -> np.ndarray:
@@ -123,7 +136,7 @@ class ServingBundle:
             stop = min(start + self.batch_size, n)
             pad = self.batch_size - (stop - start)
             recs = _serve_step_events(
-                self.item_factors,
+                self.item_factors, self.left_panel,
                 jnp.asarray(np.pad(item_ids[start:stop], ((0, pad),
                                                           (0, 0)))),
                 jnp.asarray(np.pad(values[start:stop], ((0, pad), (0, 0)))),
@@ -164,7 +177,7 @@ class ServingBundle:
             stop = min(start + self.batch_size, n)
             block = np.zeros((self.batch_size, self.n_items))
             block[: stop - start] = profiles[start:stop]
-            recs = _serve_step(self.item_factors,
+            recs = _serve_step(self.item_factors, self.left_panel,
                                jnp.asarray(block,
                                            self.item_factors.dtype),
                                self.topk, self.filter_seen)
@@ -174,7 +187,8 @@ class ServingBundle:
     # --- persistence ----------------------------------------------------------
 
     def save(self, path: str) -> None:
-        save_factors(path, {"item_factors": self.item_factors},
+        save_factors(path, {"item_factors": self.item_factors,
+                            "left_panel": self.left_panel},
                      meta={"topk": self.topk,
                            "filter_seen": self.filter_seen,
                            "batch_size": self.batch_size,
@@ -185,4 +199,5 @@ class ServingBundle:
         factors, meta = load_factors(path)
         return cls(factors["item_factors"], topk=meta["topk"],
                    filter_seen=meta["filter_seen"],
-                   batch_size=meta["batch_size"])
+                   batch_size=meta["batch_size"],
+                   left_panel=factors.get("left_panel"))

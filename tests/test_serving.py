@@ -81,3 +81,44 @@ def test_empty_and_ambiguous_requests(trained_model):
     dense_as_lists = [[0.0] * bundle.n_items]
     with pytest.raises(ValueError, match="ambiguous"):
         bundle.recommend(dense_as_lists)
+
+
+def test_hybrid_svd_bundle_matches_model():
+    import jax.numpy as jnp
+    from polara_tpu.data.hybrid import SimilarityDataModel
+    from polara_tpu.models import HybridSVD
+
+    rs = np.random.RandomState(2)
+    n_items = 30
+    base = rs.rand(n_items, 4)
+    sim = base @ base.T
+    d = np.sqrt(np.diag(sim))
+    sim = sim / d[:, None] / d[None, :]
+
+    events = make_synthetic_interactions(n_users=50, n_items=n_items,
+                                         n_events=700, seed=2)
+    data = SimilarityDataModel(events, "userid", "movieid", "rating",
+                               seed=0, verbose=False,
+                               relations_matrices={"movieid": sim},
+                               relations_indices={"movieid":
+                                                  np.arange(n_items)})
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+    model = HybridSVD(data)
+    model.rank = 6
+    model.verbose = False
+    model.build()
+
+    bundle = ServingBundle.from_model(model, topk=5, batch_size=8)
+    profiles, _ = model.get_test_matrix()
+    recs = bundle.recommend(np.asarray(profiles))
+
+    vr = np.asarray(model.factors["movieid_projector_right"])
+    vl = np.asarray(model.factors["movieid_projector_left"])
+    p = np.asarray(profiles)
+    scores = (p @ vr) @ vl.T
+    scores[p > 0] = -np.inf
+    expect = np.argsort(-scores[3], kind="stable")[:5]
+    np.testing.assert_array_equal(recs[3], expect)
