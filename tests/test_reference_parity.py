@@ -378,3 +378,46 @@ def test_state_machine_random_walk_parity():
             continue
         assert len(ref_holdout) == len(our_holdout), \
             f"holdout size diverged at step {step}: {name}={value}"
+
+
+def test_cold_start_split_parity():
+    """Item cold-start fold split + holdout agree with the reference at
+    the external-id level (internal cold codes deliberately differ — we
+    recode contiguously after filtering)."""
+    ref_cold_mod = pytest.importorskip(
+        "polara.recommender.coldstart.data")
+    from polara_tpu.data.coldstart import ItemColdStartData
+
+    events = make_events(seed=7)
+    ref = ref_cold_mod.ItemColdStartData(events.copy(), "userid",
+                                         "movieid", "rating", seed=0)
+    ref.verbose = False
+    ref.prepare()
+
+    ours = ItemColdStartData(events.copy(), "userid", "movieid", "rating",
+                             seed=0, verbose=False)
+    ours.prepare()
+
+    assert set(ref.index.itemid.cold_start["old"]) \
+        == set(ours.index.itemid.cold_start["old"])
+
+    def holdout_external(model):
+        holdout = model.test.holdout
+        user_map = model.index.userid.training.set_index("new")["old"]
+        cold_map = model.index.itemid.cold_start.set_index("new")["old"]
+        frame = holdout.copy()
+        frame["userid"] = frame["userid"].map(user_map)
+        frame["movieid_cold"] = frame["movieid_cold"].map(cold_map)
+        return set(map(tuple,
+                       frame[["userid", "movieid_cold", "rating"]]
+                       .values.tolist()))
+
+    assert holdout_external(ref) == holdout_external(ours)
+
+    # fold rotation stays in lockstep too
+    ref.test_fold = 2
+    ref.update()
+    ours.test_fold = 2
+    ours.update()
+    assert set(ref.index.itemid.cold_start["old"]) \
+        == set(ours.index.itemid.cold_start["old"])
