@@ -421,3 +421,72 @@ def test_cold_start_split_parity():
     ours.update()
     assert set(ref.index.itemid.cold_start["old"]) \
         == set(ours.index.itemid.cold_start["old"])
+
+
+def test_split_earliest_last_parity():
+    """Temporal split guard partitions agree with the reference's
+    heap-based numba kernel (running as stubbed pure Python)."""
+    ref_pdf = pytest.importorskip("polara.preprocessing.dataframes")
+    from polara_tpu.preprocessing import dataframes as pdf
+
+    rs = np.random.RandomState(5)
+    events = pd.DataFrame({
+        "userid": rs.randint(0, 30, 500),
+        "movieid": rs.randint(0, 60, 500),
+        "timestamp": rs.randint(0, 10_000, 500),
+    })
+    ref_obs, ref_hold, ref_fut = ref_pdf.split_earliest_last(
+        events, userid="userid", priority="timestamp")
+    our_obs, our_hold, our_fut = pdf.split_earliest_last(
+        events, userid="userid", priority="timestamp")
+    assert set(ref_obs.index) == set(our_obs.index)
+    assert set(ref_hold.index) == set(our_hold.index)
+    assert set(ref_fut.index) == set(our_fut.index)
+
+
+def test_contextual_mapping_parity():
+    """Item-context mapping agrees with the reference data model."""
+    ref_ctx_mod = pytest.importorskip(
+        "polara.recommender.contextual.data")
+    from polara_tpu.data.contextual import ItemPostFilteringData
+
+    rs = np.random.RandomState(6)
+    genres = np.array(["a", "b", "c"])
+    item_genre = genres[rs.randint(0, 3, 25)]
+    rows = []
+    for user in range(30):
+        items = rs.choice(25, size=rs.randint(5, 10), replace=False)
+        for item in items:
+            rows.append((user, item, rs.randint(1, 6), item_genre[item]))
+    events = pd.DataFrame(rows, columns=["userid", "movieid", "rating",
+                                         "genre"])
+    mapping = pd.DataFrame({"movieid": np.arange(25),
+                            "genre": item_genre})
+    config = dict(warm_start=False, test_ratio=0.2, holdout_size=1,
+                  permute_tops=False)
+
+    ref = ref_ctx_mod.ItemPostFilteringData(
+        events.copy(), "userid", "movieid", "rating",
+        item_context_mapping={"genre": mapping.copy()}, seed=0)
+    ref.verbose = False
+    for name, value in config.items():
+        setattr(ref, name, value)
+    ref.prepare()
+
+    ours = ItemPostFilteringData(
+        events.copy(), "userid", "movieid", "rating",
+        item_context_mapping={"genre": mapping.copy()}, seed=0,
+        verbose=False)
+    for name, value in config.items():
+        setattr(ours, name, value)
+    ours.prepare()
+
+    ref_items = ref.context_data["genre"]["movieid"]
+    our_items = ours.context_data["genre"]["movieid"]
+    assert set(ref_items.index) == set(our_items.index)
+    for ctx in ref_items.index.unique():
+        assert set(ref_items.loc[ctx]) == set(our_items.loc[ctx])
+    ref_users = ref.context_data["genre"]["userid"]
+    our_users = ours.context_data["genre"]["userid"]
+    pd.testing.assert_series_equal(ref_users.sort_index(),
+                                   our_users.sort_index())
