@@ -490,3 +490,58 @@ def test_contextual_mapping_parity():
     our_users = ours.context_data["genre"]["userid"]
     pd.testing.assert_series_equal(ref_users.sort_index(),
                                    our_users.sort_index())
+
+
+def test_similarity_kernels_parity():
+    """Device similarity kernels match the reference's scipy versions."""
+    ref_sim = pytest.importorskip("polara.lib.similarity")
+    import scipy.sparse as sp
+    from polara_tpu.ops import similarity as our_sim
+
+    rs = np.random.RandomState(8)
+    features = sp.csr_matrix((rs.rand(40, 15) < 0.35).astype(float))
+
+    ref_cos = np.asarray(ref_sim.cosine_similarity(features).toarray())
+    our_cos = np.asarray(our_sim.cosine_similarity(features))
+    np.testing.assert_allclose(our_cos, ref_cos, atol=1e-6)
+
+    # the reference's jaccard is broken under modern scipy (bool@bool
+    # matmul no longer upcasts, so intersections collapse to 1); compare
+    # ours against the ground-truth index instead
+    dense = (features.toarray() > 0)
+    inter = dense @ dense.T
+    union = dense.sum(1)[:, None] + dense.sum(1)[None, :] - inter
+    truth = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    np.fill_diagonal(truth, 1.0)
+    our_jac = np.asarray(our_sim.jaccard_similarity(features))
+    np.testing.assert_allclose(our_jac, truth, atol=1e-6)
+
+    ref_tfidf = np.asarray(
+        ref_sim.cosine_tfidf_similarity(features).toarray())
+    our_tfidf = np.asarray(our_sim.cosine_tfidf_similarity(features))
+    np.testing.assert_allclose(our_tfidf, ref_tfidf, atol=1e-5)
+
+
+def test_feature_encoding_parity():
+    """feature2sparse / stack_features match the reference encodings."""
+    ref_sim = pytest.importorskip("polara.lib.similarity")
+    from polara_tpu.preprocessing import features as our_feat
+
+    labels = pd.Series([["drama", "action"], ["action"],
+                        ["comedy", "drama", "noir"], []])
+    ref_mat, ref_lbl = ref_sim.feature2sparse(labels)
+    our_mat, our_lbl = our_feat.feature2sparse(labels)
+    assert ref_lbl == our_lbl
+    np.testing.assert_array_equal(our_mat.toarray(), ref_mat.toarray())
+
+    meta = pd.DataFrame({"genres": labels,
+                         "tags": pd.Series([["t1"], [], ["t2", "t1"],
+                                            ["t2"]])})
+    ref_stacked, ref_labels = ref_sim.stack_features(meta,
+                                                     normalize=True)
+    our_stacked, our_labels = our_feat.stack_features(meta,
+                                                      normalize=True)
+    assert {k: dict(v) for k, v in ref_labels.items()} \
+        == {k: dict(v) for k, v in our_labels.items()}
+    np.testing.assert_allclose(our_stacked.toarray(),
+                               ref_stacked.toarray(), atol=1e-12)
