@@ -509,7 +509,7 @@ def test_similarity_kernels_parity():
     # matmul no longer upcasts, so intersections collapse to 1); compare
     # ours against the ground-truth index instead
     dense = (features.toarray() > 0)
-    inter = dense @ dense.T
+    inter = dense.astype(int) @ dense.astype(int).T
     union = dense.sum(1)[:, None] + dense.sum(1)[None, :] - inter
     truth = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
     np.fill_diagonal(truth, 1.0)
@@ -531,17 +531,25 @@ def test_feature_encoding_parity():
                         ["comedy", "drama", "noir"], []])
     ref_mat, ref_lbl = ref_sim.feature2sparse(labels)
     our_mat, our_lbl = our_feat.feature2sparse(labels)
-    assert ref_lbl == our_lbl
-    np.testing.assert_array_equal(our_mat.toarray(), ref_mat.toarray())
+    # the reference numbers labels in `set` iteration order (hash-seed
+    # dependent); ours is deterministic sorted order — compare the
+    # encodings up to that column permutation
+    assert set(ref_lbl) == set(our_lbl)
+    perm = [our_lbl[name] for name, _ in
+            sorted(ref_lbl.items(), key=lambda kv: kv[1])]
+    np.testing.assert_array_equal(our_mat.toarray()[:, perm],
+                                  ref_mat.toarray())
 
     meta = pd.DataFrame({"genres": labels,
                          "tags": pd.Series([["t1"], [], ["t2", "t1"],
                                             ["t2"]])})
-    ref_stacked, ref_labels = ref_sim.stack_features(meta,
-                                                     normalize=True)
-    our_stacked, our_labels = our_feat.stack_features(meta,
-                                                      normalize=True)
-    assert {k: dict(v) for k, v in ref_labels.items()} \
-        == {k: dict(v) for k, v in our_labels.items()}
-    np.testing.assert_allclose(our_stacked.toarray(),
+    ref_stacked, ref_labels = ref_sim.stack_features(meta, normalize=True)
+    our_stacked, our_labels = our_feat.stack_features(meta, normalize=True)
+    # align per-feature blocks through both label dicts
+    n_genres = len(ref_labels["genres"])
+    perm = [our_labels["genres"][name] for name, _ in
+            sorted(ref_labels["genres"].items(), key=lambda kv: kv[1])]
+    perm += [n_genres + our_labels["tags"][name] for name, _ in
+             sorted(ref_labels["tags"].items(), key=lambda kv: kv[1])]
+    np.testing.assert_allclose(our_stacked.toarray()[:, perm],
                                ref_stacked.toarray(), atol=1e-12)
