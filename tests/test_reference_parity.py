@@ -553,3 +553,40 @@ def test_feature_encoding_parity():
              sorted(ref_labels["tags"].items(), key=lambda kv: kv[1])]
     np.testing.assert_allclose(our_stacked.toarray()[:, perm],
                                ref_stacked.toarray(), atol=1e-12)
+
+
+def test_popularity_model_end_to_end_parity():
+    """Non-personalized path: both implementations produce valid
+    popularity orderings — per-rank item counts are identical (tie
+    orders between equally popular items are implementation details:
+    argpartition internals vs lowest-index)."""
+    from polara_tpu.models import PopularityModel
+
+    events = make_events(seed=9)
+    config = dict(warm_start=False, test_ratio=0.2, holdout_size=2,
+                  permute_tops=False)
+
+    ref_data = ref_data_mod.RecommenderData(events.copy(), "userid",
+                                            "movieid", "rating", seed=0)
+    ref_data.verbose = False
+    for name, value in config.items():
+        setattr(ref_data, name, value)
+    ref = ref_models_mod.PopularityModel(ref_data)
+    ref.verbose = False
+    ref.filter_seen = False
+    ref_recs = np.asarray(ref.recommendations)
+
+    ours_data = RecommenderData(events.copy(), "userid", "movieid",
+                                "rating", seed=0, verbose=False)
+    for name, value in config.items():
+        setattr(ours_data, name, value)
+    ours = PopularityModel(ours_data)
+    ours.verbose = False
+    ours.filter_seen = False
+    our_recs = np.asarray(ours.recommendations)
+
+    assert our_recs.shape == ref_recs.shape
+    counts = ours_data.training.groupby("movieid").size()
+    our_rank_counts = counts.loc[our_recs.ravel()].values
+    ref_rank_counts = counts.loc[ref_recs.ravel()].values
+    np.testing.assert_array_equal(our_rank_counts, ref_rank_counts)
