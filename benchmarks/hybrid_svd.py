@@ -1,0 +1,61 @@
+"""HybridSVD build at ML-10M scale vs the reference's CHOLMOD pipeline
+(52.8s-2m42s, similarity Cholesky alone 1m47s — BASELINE.md).
+
+    PYTHONPATH=. python benchmarks/hybrid_svd.py
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from polara_tpu.ops.cholesky import CholeskyFactor, hybrid_operator
+from polara_tpu.ops.rsvd import randomized_svd
+from polara_tpu.ops.sparse import CooMatrix
+
+N_USERS, N_ITEMS, NNZ, RANK = 69_878, 10_677, 10_000_054, 30
+
+
+def main():
+    rs = np.random.RandomState(0)
+    rows = rs.randint(0, N_USERS, NNZ).astype(np.int32)
+    cols = rs.randint(0, N_ITEMS, NNZ).astype(np.int32)
+    vals = (rs.randint(1, 11, NNZ) / 2.0).astype(np.float32)
+    coo = CooMatrix.from_numpy(rows, cols, vals, (N_USERS, N_ITEMS),
+                               dtype=jnp.float32)
+
+    # synthetic PSD item similarity with unit diagonal
+    base = rs.randn(N_ITEMS, 32).astype(np.float32)
+    sim = base @ base.T
+    diag = np.sqrt(np.diag(sim))
+    sim = 0.5 * sim / diag[:, None] / diag[None, :]
+    np.fill_diagonal(sim, 1.0)
+    sim_dev = jnp.asarray(sim)
+
+    def build():
+        chol = CholeskyFactor.factorize(sim_dev, beta=1.0)  # w = 0.5
+        op = hybrid_operator(coo, None, chol.L,
+                             dense_budget_bytes=4 << 30)
+        res = randomized_svd(op, RANK, n_iter=6, seed=0, dtype=jnp.float32)
+        return jax.block_until_ready((chol.T.solve(res.v),
+                                      chol.dot(res.v)))
+
+    t0 = time.perf_counter()
+    build()
+    print(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s")
+    timings = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        build()
+        timings.append(time.perf_counter() - t0)
+    print(f"HybridSVD rank-{RANK} build at ML-10M scale: "
+          f"{min(timings):.2f}s (ref CHOLMOD pipeline 52.8s-2m42s)")
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(CholeskyFactor.factorize(sim_dev, beta=1.0).L)
+    print(f"dense {N_ITEMS}x{N_ITEMS} Cholesky: "
+          f"{time.perf_counter() - t0:.2f}s (ref 1m47s)")
+
+
+if __name__ == "__main__":
+    main()

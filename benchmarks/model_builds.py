@@ -1,0 +1,53 @@
+"""Model build times at ML-1M geometry vs the reference's recorded CPU
+numbers (BASELINE.md).  Run on a real TPU:
+
+    PYTHONPATH=. python benchmarks/model_builds.py
+
+Timings are steady-state rebuilds (training matrix HBM-resident,
+executables compiled) — the regime of rank sweeps and cross-validation.
+"""
+import time
+
+from polara_tpu.data import RecommenderData
+from polara_tpu.datasets import make_synthetic_interactions
+from polara_tpu.models import (CoffeeModel, CooccurrenceModel, ImplicitALS,
+                               ScaledSVD, SVDModel)
+
+
+def timed_build(model, n=3, **attrs):
+    for key, value in attrs.items():
+        setattr(model, key, value)
+    model.verbose = False
+    model.build()  # compile + ingestion warm-up
+    timings = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        model.build()
+        timings.append(time.perf_counter() - t0)
+    return min(timings)
+
+
+def main():
+    events = make_synthetic_interactions(6040, 3706, 1_000_000, seed=0)
+    print(f"events: {len(events)} (ML-1M geometry)")
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+
+    print(f"PureSVD rank-10 build: {timed_build(SVDModel(data), rank=10):.3f}s"
+          " (ref CPU 0.095-0.15s)")
+    print(f"ScaledSVD rank-10 build: "
+          f"{timed_build(ScaledSVD(data), rank=10):.3f}s (ref 0.534s)")
+    print(f"CoFFee (13,10,2) build: "
+          f"{timed_build(CoffeeModel(data), n=2):.3f}s (ref 1.18-3.54s)")
+    print(f"iALS rank-10 15ep build: "
+          f"{timed_build(ImplicitALS(data), n=2, rank=10):.3f}s "
+          "(ref 1.6-1.8s)")
+    print(f"i2i build: {timed_build(CooccurrenceModel(data)):.3f}s")
+
+
+if __name__ == "__main__":
+    main()
