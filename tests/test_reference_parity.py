@@ -140,7 +140,15 @@ def build_pair(config, seed=0):
     # negative holdout (worst-rated items)
     dict(warm_start=False, test_ratio=0.2, holdout_size=1,
          negative_prediction=True, permute_tops=False),
-], ids=["known-users", "warm-start", "holdout-only", "negative"])
+    # stochastic paths share the reference's exact RandomState draws
+    dict(warm_start=False, test_ratio=0.2, holdout_size=2,
+         permute_tops=True),
+    dict(warm_start=False, test_ratio=0.2, holdout_size=2,
+         random_holdout=True),
+    # (test_sample parity is not checkable: the reference's
+    # _sample_testset loses the grouping column under pandas>=3)
+], ids=["known-users", "warm-start", "holdout-only", "negative",
+        "permute-tops", "random-holdout"])
 def test_split_parity(config):
     """Deterministic (RNG-free) split configs produce identical training
     and holdout sets, event for event."""
