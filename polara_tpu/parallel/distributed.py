@@ -164,7 +164,8 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
 def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
                      mesh: Mesh, num_iters: int = 25,
                      growth_tol: float = 1e-4, seed: Optional[int] = None,
-                     dtype=jnp.float32, verbose: bool = False):
+                     dtype=jnp.float32, verbose: bool = False,
+                     qr_method: Optional[str] = None):
     """HOOI with the tensor nonzeros sharded over the mesh's first axis.
 
     The event contractions (the O(nnz·r) work) run shard-local and psum
@@ -199,8 +200,12 @@ def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
     u2 = jnp.linalg.qr(jax.random.uniform(k2, (n2, r2), dtype))[0]
     u0 = jnp.zeros((n0, r0), dtype)
 
+    if qr_method is None:
+        qr_method = ("cholesky2" if jax.default_backend() == "tpu"
+                     else "householder")
     sweep_local = partial(_hooi_sweep.__wrapped__, shape=(n0, n1, n2),
-                          core_shape=tuple(core_shape), axis_name=axis)
+                          core_shape=tuple(core_shape), axis_name=axis,
+                          qr_method=qr_method)
     sweep = jax.jit(shard_map(
         sweep_local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
