@@ -1,7 +1,7 @@
 """HybridSVD build at ML-10M scale vs the reference's CHOLMOD pipeline
 (52.8s-2m42s, similarity Cholesky alone 1m47s — BASELINE.md).
 
-    PYTHONPATH=. python benchmarks/hybrid_svd.py
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/hybrid_svd.py
 """
 import time
 
@@ -32,27 +32,31 @@ def main():
     np.fill_diagonal(sim, 1.0)
     sim_dev = jnp.asarray(sim)
 
-    def build():
+    def build(seed):
+        # host copies (np.asarray) are the synchronization points: through
+        # the axon tunnel block_until_ready is a no-op (see CLAUDE.md)
         chol = CholeskyFactor.factorize(sim_dev, beta=1.0)  # w = 0.5
         op = hybrid_operator(coo, None, chol.L,
                              dense_budget_bytes=4 << 30)
-        res = randomized_svd(op, RANK, n_iter=6, seed=0, dtype=jnp.float32)
-        return jax.block_until_ready((chol.T.solve(res.v),
-                                      chol.dot(res.v)))
+        res = randomized_svd(op, RANK, n_iter=6, seed=seed,
+                             dtype=jnp.float32)
+        return (np.asarray(chol.T.solve(res.v))[0, 0],
+                np.asarray(chol.dot(res.v))[0, 0])
 
     t0 = time.perf_counter()
-    build()
+    build(0)
     print(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s")
     timings = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.perf_counter()
-        build()
+        build(i + 1)  # vary the random panel between iterations
         timings.append(time.perf_counter() - t0)
     print(f"HybridSVD rank-{RANK} build at ML-10M scale: "
           f"{min(timings):.2f}s (ref CHOLMOD pipeline 52.8s-2m42s)")
 
     t0 = time.perf_counter()
-    jax.block_until_ready(CholeskyFactor.factorize(sim_dev, beta=1.0).L)
+    # sync on a scalar: fetching L itself would time the (huge) host copy
+    np.asarray(CholeskyFactor.factorize(sim_dev, beta=1.0).L[0, 0])
     print(f"dense {N_ITEMS}x{N_ITEMS} Cholesky: "
           f"{time.perf_counter() - t0:.2f}s (ref 1m47s)")
 

@@ -1,12 +1,15 @@
 """Model build times at ML-1M geometry vs the reference's recorded CPU
-numbers (BASELINE.md).  Run on a real TPU:
+numbers (BASELINE.md).  Run on a real TPU (from the repo root; keep the
+axon plugin path if your env uses the tunnel):
 
-    PYTHONPATH=. python benchmarks/model_builds.py
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/model_builds.py
 
 Timings are steady-state rebuilds (training matrix HBM-resident,
 executables compiled) — the regime of rank sweeps and cross-validation.
 """
 import time
+
+import numpy as np
 
 from polara_tpu.data import RecommenderData
 from polara_tpu.datasets import make_synthetic_interactions
@@ -14,15 +17,34 @@ from polara_tpu.models import (CoffeeModel, CooccurrenceModel, ImplicitALS,
                                ScaledSVD, SVDModel)
 
 
+def _materialize(model):
+    """Force a host copy of the trained factors: through the axon tunnel
+    block_until_ready does not synchronize, so this is what makes the
+    timings real (see CLAUDE.md)."""
+    factors = getattr(model, "factors", None)
+    if factors:
+        for value in factors.values():
+            if value is not None:
+                np.asarray(value)
+    for attr in ("item_scores", "_i2i_matrix"):
+        value = getattr(model, attr, None)
+        if value is not None:
+            np.asarray(value)
+
+
 def timed_build(model, n=3, **attrs):
     for key, value in attrs.items():
         setattr(model, key, value)
     model.verbose = False
     model.build()  # compile + ingestion warm-up
+    _materialize(model)
     timings = []
-    for _ in range(n):
+    for i in range(n):
+        if hasattr(model, "seed"):
+            model.seed = i  # vary the factorization's random panel
         t0 = time.perf_counter()
         model.build()
+        _materialize(model)
         timings.append(time.perf_counter() - t0)
     return min(timings)
 

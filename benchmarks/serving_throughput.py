@@ -1,6 +1,6 @@
 """Online-serving throughput at ML-10M catalog scale.
 
-    PYTHONPATH=. python benchmarks/serving_throughput.py
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/serving_throughput.py
 
 Note: through the axon tunnel, always force a host copy in timing loops
 and vary an input element per iteration (see CLAUDE.md).

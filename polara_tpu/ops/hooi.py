@@ -41,8 +41,9 @@ def _left_singular_vectors(m: jax.Array, k: int,
     as CholeskyQR2 (MXU matmuls instead of serialized Householder)."""
     if qr_method == "cholesky2":
         from polara_tpu.ops.rsvd import cholesky_qr2
-        # tiny jitter guards the Gram against rank-deficient unfoldings
-        q, r = cholesky_qr2(m, eps=1e-12)
+        # relative jitter guards the Gram against rank-deficient
+        # unfoldings (meaningful in f32, unlike an absolute epsilon)
+        q, r = cholesky_qr2(m, eps=1e-6)
     else:
         q, r = jnp.linalg.qr(m)
     ur, s, _ = jnp.linalg.svd(r)
@@ -105,8 +106,8 @@ def hooi(idx: np.ndarray, val: np.ndarray, shape: Tuple[int, int, int],
     (reference ``tensor.py:57-88``): stop when the relative growth of the
     core norm falls below ``growth_tol``."""
     if qr_method is None:
-        qr_method = ("cholesky2" if jax.default_backend() == "tpu"
-                     else "householder")
+        from polara_tpu.ops.rsvd import default_qr_method
+        qr_method = default_qr_method()
     n0, n1, n2 = (int(s) for s in shape)
     r0, r1, r2 = core_shape
     if not (r0 <= n0 and r1 <= n1 and r2 <= n2):

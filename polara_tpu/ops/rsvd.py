@@ -57,7 +57,11 @@ def cholesky_qr2(y: jax.Array, eps: float = 0.0) -> Tuple[jax.Array,
     def one_pass(a):
         gram = a.T @ a
         if eps:
-            gram = gram + eps * jnp.eye(gram.shape[0], dtype=gram.dtype)
+            # jitter RELATIVE to the gram's scale — an absolute epsilon
+            # is a no-op in f32 once diagonal entries exceed ~eps/ulp
+            scale = jnp.trace(gram) / gram.shape[0]
+            gram = gram + (eps * scale) * jnp.eye(gram.shape[0],
+                                                  dtype=gram.dtype)
         r = jnp.linalg.cholesky(gram).T          # upper triangular
         q = jax.scipy.linalg.solve_triangular(r, a.T, lower=False,
                                               trans="T").T
@@ -66,6 +70,12 @@ def cholesky_qr2(y: jax.Array, eps: float = 0.0) -> Tuple[jax.Array,
     q1, r1 = one_pass(y)
     q2, r2 = one_pass(q1)
     return q2, r2 @ r1
+
+
+def default_qr_method() -> str:
+    """Panel-QR default: CholeskyQR2 on TPU (MXU matmuls), Householder
+    elsewhere."""
+    return "cholesky2" if jax.default_backend() == "tpu" else "householder"
 
 
 def _panel_qr(a: jax.Array, method: str) -> Tuple[jax.Array, jax.Array]:
@@ -161,8 +171,7 @@ def randomized_svd(a: Union[jax.Array, MatmulOperator], k: int,
     block = min(k + (oversample if oversample is not None else max(10, k)),
                 min(m, n))
     if qr_method is None:
-        qr_method = ("cholesky2" if jax.default_backend() == "tpu"
-                     else "householder")
+        qr_method = default_qr_method()
 
     key = jax.random.key(0 if seed is None else seed)
     omega = jax.random.normal(key, (n, block), dtype=dtype)

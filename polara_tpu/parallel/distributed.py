@@ -201,8 +201,8 @@ def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
     u0 = jnp.zeros((n0, r0), dtype)
 
     if qr_method is None:
-        qr_method = ("cholesky2" if jax.default_backend() == "tpu"
-                     else "householder")
+        from polara_tpu.ops.rsvd import default_qr_method
+        qr_method = default_qr_method()
     sweep_local = partial(_hooi_sweep.__wrapped__, shape=(n0, n1, n2),
                           core_shape=tuple(core_shape), axis_name=axis,
                           qr_method=qr_method)

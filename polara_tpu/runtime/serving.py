@@ -187,8 +187,10 @@ class ServingBundle:
     # --- persistence ----------------------------------------------------------
 
     def save(self, path: str) -> None:
-        save_factors(path, {"item_factors": self.item_factors,
-                            "left_panel": self.left_panel},
+        factors = {"item_factors": self.item_factors}
+        if self.left_panel is not self.item_factors:
+            factors["left_panel"] = self.left_panel
+        save_factors(path, factors,
                      meta={"topk": self.topk,
                            "filter_seen": self.filter_seen,
                            "batch_size": self.batch_size,

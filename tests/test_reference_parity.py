@@ -150,8 +150,9 @@ def build_pair(config, seed=0):
 ], ids=["known-users", "warm-start", "holdout-only", "negative",
         "permute-tops", "random-holdout"])
 def test_split_parity(config):
-    """Deterministic (RNG-free) split configs produce identical training
-    and holdout sets, event for event."""
+    """Split configs produce identical training and holdout sets, event
+    for event — including the stochastic paths (permute_tops /
+    random_holdout consume the reference's RandomState draw for draw)."""
     ref, ours = build_pair(config)
 
     ref_train = as_tuples(externalized(ref, ref.training))

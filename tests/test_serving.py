@@ -115,9 +115,11 @@ def test_hybrid_svd_bundle_matches_model():
     profiles, _ = model.get_test_matrix()
     recs = bundle.recommend(np.asarray(profiles))
 
-    vr = np.asarray(model.factors["movieid_projector_right"])
-    vl = np.asarray(model.factors["movieid_projector_left"])
-    p = np.asarray(profiles)
+    vr = np.asarray(model.factors["movieid_projector_right"],
+                    dtype=np.float32)
+    vl = np.asarray(model.factors["movieid_projector_left"],
+                    dtype=np.float32)
+    p = np.asarray(profiles, dtype=np.float32)
     scores = (p @ vr) @ vl.T
     scores[p > 0] = -np.inf
     expect = np.argsort(-scores[3], kind="stable")[:5]
