@@ -259,3 +259,41 @@ def test_hooi_dense_path_matches_segment_path():
                                         jnp.asarray(b)) < 1e-6
     np.testing.assert_allclose(np.asarray(seg.core), np.asarray(dense.core),
                                atol=1e-6)
+
+
+def test_scaled_svd_dense_cache_tracks_scaling():
+    """The cached densified operator must not leak across col_scaling
+    changes (cache is keyed by the scaling signature)."""
+    import numpy as np
+    from polara_tpu.data import RecommenderData
+    from polara_tpu.datasets import make_synthetic_interactions
+    from polara_tpu.models import ScaledSVD
+
+    events = make_synthetic_interactions(60, 40, 1200, seed=3)
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+
+    model = ScaledSVD(data)
+    model.rank = 6
+    model.verbose = False
+    model.col_scaling = 0.4
+    model.build()
+    s_04 = np.asarray(model.factors["singular_values"]).copy()
+
+    model.col_scaling = 1.0  # pure SVD scaling
+    model.build()
+    s_10 = np.asarray(model.factors["singular_values"]).copy()
+    assert not np.allclose(s_04, s_10)
+
+    model.col_scaling = 0.4  # back: must reproduce the first spectrum
+    model.build()
+    np.testing.assert_allclose(np.asarray(model.factors["singular_values"]),
+                               s_04, rtol=1e-5)
+    # only one dense block retained at a time
+    dense_keys = [k for k in model._training_matrix_cache
+                  if isinstance(k, tuple) and k and k[0] == "svd_dense"]
+    assert len(dense_keys) == 1
