@@ -599,3 +599,49 @@ def test_popularity_model_end_to_end_parity():
     our_rank_counts = counts.loc[our_recs.ravel()].values
     ref_rank_counts = counts.loc[ref_recs.ravel()].values
     np.testing.assert_array_equal(our_rank_counts, ref_rank_counts)
+
+
+def test_set_test_data_parity():
+    """Externally injected test data (Custom_evaluation notebook
+    scenarios) is cleaned/reindexed identically."""
+    events = make_events(seed=12)
+    ref, ours = build_pair(dict(warm_start=False, test_ratio=0.2,
+                                holdout_size=2, permute_tops=False))
+
+    # craft an external holdout in the ORIGINAL id space, including some
+    # entities absent from training (they must be filtered identically)
+    external = events.groupby("userid").tail(1).copy()
+    external.loc[external.index[:3], "movieid"] = 99_999  # unseen items
+
+    ref.set_test_data(holdout=external.copy(), warm_start=False)
+    ours.set_test_data(holdout=external.copy(), warm_start=False)
+
+    ref_user_map = ref.index.userid.training.set_index("new")["old"]
+    our_user_map = ours.index.userid.training.set_index("new")["old"]
+    ref_item_map = ref.index.itemid.set_index("new")["old"] \
+        if not hasattr(ref.index.itemid, "training") \
+        else ref.index.itemid.training.set_index("new")["old"]
+    our_item_map = ours.get_entity_index("movieid") \
+        .set_index("new")["old"]
+
+    def tuples(frame, umap, imap):
+        out = frame.copy()
+        out["userid"] = out["userid"].map(umap)
+        out["movieid"] = out["movieid"].map(imap)
+        return as_tuples(out)
+
+    assert tuples(ref.test.holdout, ref_user_map, ref_item_map) \
+        == tuples(ours.test.holdout, our_user_map, our_item_map)
+
+    # test_users based injection (testset recovered from training rows)
+    ref2, ours2 = build_pair(dict(warm_start=False, test_ratio=0.2,
+                                  holdout_size=2, permute_tops=False),
+                             seed=12)
+    chosen_users = events["userid"].unique()[:5]
+    ref2.set_test_data(holdout=external.copy(), test_users=chosen_users,
+                       warm_start=False)
+    ours2.set_test_data(holdout=external.copy(), test_users=chosen_users,
+                        warm_start=False)
+    assert len(ref2.test.testset) == len(ours2.test.testset)
+    assert set(ref2.test.testset["userid"].unique()) \
+        == set(ours2.test.testset["userid"].unique())
