@@ -45,3 +45,13 @@ def fold_in_name(key: jax.Array, name: str) -> jax.Array:
     for ch in name.encode():
         h = ((h ^ ch) * 16777619) & 0x7FFFFFFF
     return jax.random.fold_in(key, h)
+
+
+def seed_generator(seed=None):
+    """Infinite stream of fresh integer seeds (reference
+    ``polara/tools/random.py:17-21``) — spawn one per worker/thread for
+    independent streams."""
+    seed_sequence = np.random.SeedSequence(seed)
+    while True:
+        child = seed_sequence.spawn(1)[0]
+        yield child.generate_state(1)[0]
