@@ -75,6 +75,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.pack_seen_bits.argtypes = [i32p, i32p, ctypes.c_int64,
                                        ctypes.c_int32, ctypes.c_int32,
                                        ctypes.c_int32, u32p]
+        lib.group_top_k.argtypes = [i32p, f64p, ctypes.c_int64,
+                                    ctypes.c_int32, ctypes.c_int32,
+                                    i64p, i64p]
         _lib = lib
     return _lib
 
@@ -192,3 +195,36 @@ def pack_seen_bits(rows: np.ndarray, cols: np.ndarray, n_rows: int,
                        tile_n, n_tiles * w,
                        _as_ptr(out, ctypes.c_uint32))
     return out
+
+
+def group_top_k(groups: np.ndarray, values: np.ndarray, n_groups: int,
+                k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-group top-k event selection (the scale path for holdout
+    sampling).  Returns (event indices, per-group counts); among ties the
+    later event wins (pandas ``nlargest(keep='last')`` convention).
+    Falls back to a numpy argsort when the library is unavailable."""
+    groups = np.ascontiguousarray(groups, dtype=np.int32)
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    lib = get_lib()
+    if lib is None:
+        order = np.lexsort((np.arange(len(groups)), -values, groups))
+        sorted_groups = groups[order]
+        starts = np.searchsorted(sorted_groups, np.arange(n_groups))
+        ends = np.searchsorted(sorted_groups, np.arange(n_groups),
+                               side="right")
+        # within a group, equal values must prefer later event indices
+        out, counts = [], np.zeros(n_groups, dtype=np.int64)
+        for g in range(n_groups):
+            seg = order[starts[g]:ends[g]]
+            seg = sorted(seg, key=lambda e: (-values[e], -e))[:k]
+            out.extend(seg)
+            counts[g] = len(seg)
+        return np.asarray(out, dtype=np.int64), counts
+    out_idx = np.empty(min(len(groups), n_groups * k), dtype=np.int64)
+    out_count = np.zeros(n_groups, dtype=np.int64)
+    lib.group_top_k(_as_ptr(groups, ctypes.c_int32),
+                    _as_ptr(values, ctypes.c_double), len(groups),
+                    n_groups, k, _as_ptr(out_idx, ctypes.c_int64),
+                    _as_ptr(out_count, ctypes.c_int64))
+    total = int(out_count.sum())
+    return out_idx[:total], out_count

@@ -141,6 +141,46 @@ void row_unique_counts(const int32_t* rows, const int32_t* cols,
     }
 }
 
+// Per-group top-k selection: for every group (codes 0..n_groups-1) emit
+// the event indices of its k largest values.  O(n log k) via per-group
+// min-heaps — the scale path for holdout sampling over 100M+ event logs
+// where a pandas groupby-nlargest stalls.  Ties prefer the LATER event
+// (pandas nlargest keep='last' convention).
+void group_top_k(const int32_t* groups, const double* values, int64_t n,
+                 int32_t n_groups, int32_t k, int64_t* out_idx,
+                 int64_t* out_count) {
+    using Entry = std::pair<double, int64_t>;  // (value, event index)
+    auto worse = [](const Entry& a, const Entry& b) {
+        // min-heap on value; among equal values the EARLIER event is
+        // "worse" (gets evicted first), implementing keep-last
+        if (a.first != b.first) return a.first > b.first;
+        return a.second > b.second;
+    };
+    std::vector<std::vector<Entry>> heaps(n_groups);
+    for (auto& heap : heaps) heap.reserve(k + 1);
+
+    for (int64_t e = 0; e < n; ++e) {
+        auto& heap = heaps[groups[e]];
+        Entry entry{values[e], e};
+        if (static_cast<int32_t>(heap.size()) < k) {
+            heap.push_back(entry);
+            std::push_heap(heap.begin(), heap.end(), worse);
+        } else if (worse(entry, heap.front())) {
+            std::pop_heap(heap.begin(), heap.end(), worse);
+            heap.back() = entry;
+            std::push_heap(heap.begin(), heap.end(), worse);
+        }
+    }
+
+    int64_t cursor = 0;
+    for (int32_t g = 0; g < n_groups; ++g) {
+        out_count[g] = static_cast<int64_t>(heaps[g].size());
+        for (const Entry& entry : heaps[g]) {
+            out_idx[cursor++] = entry.second;
+        }
+    }
+}
+
 // Striped seen-bitmask packing for the Pallas fused scoring kernel
 // (polara_tpu/ops/pallas.py): item tile of `tile_n` columns, W=tile_n/32
 // words; tile-offset o lives in word (o % W) at bit (o / W).

@@ -97,3 +97,20 @@ def test_split_top_continuous_native_exact_order():
     python_out = py_split(tasks, priorities)
     for a, b in zip(native_out, python_out):
         assert list(a) == list(b)
+
+
+def test_group_top_k_matches_pandas_nlargest():
+    import pandas as pd
+    rs = np.random.RandomState(9)
+    groups = rs.randint(0, 20, 1000).astype(np.int32)
+    values = rs.randint(1, 6, 1000).astype(np.float64)  # many ties
+    idx, counts = native.group_top_k(groups, values, 20, k=3)
+    frame = pd.Series(values).groupby(pd.Series(groups), sort=False)
+    expect = frame.nlargest(3, keep="last")
+    expect_idx = set(expect.index.get_level_values(1))
+    assert set(idx.tolist()) == expect_idx
+    assert counts.sum() == len(expect)
+    # per-group counts respected
+    sizes = pd.Series(groups).value_counts()
+    for g in range(20):
+        assert counts[g] == min(3, sizes.get(g, 0))
