@@ -114,3 +114,30 @@ def test_group_top_k_matches_pandas_nlargest():
     sizes = pd.Series(groups).value_counts()
     for g in range(20):
         assert counts[g] == min(3, sizes.get(g, 0))
+
+
+def test_numpy_fallbacks_match_native():
+    """Every native entry point keeps working (and agrees) without the
+    compiled library."""
+    rs = np.random.RandomState(11)
+    groups = rs.randint(0, 15, 800).astype(np.int32)
+    values = rs.randint(1, 5, 800).astype(np.float64)
+    rows = np.sort(rs.randint(0, 20, 300)).astype(np.int32)
+
+    with_lib = {
+        "topk": native.group_top_k(groups, values, 15, 2),
+        "indptr": native.build_indptr(rows, 20),
+    }
+    saved_lib, saved_flag = native._lib, native._build_failed
+    native._lib, native._build_failed = None, True
+    try:
+        fallback_topk = native.group_top_k(groups, values, 15, 2)
+        fallback_indptr = native.build_indptr(rows, 20)
+        assert native.pack_seen_bits(rows, rows, 20, 64) is None
+    finally:
+        native._lib, native._build_failed = saved_lib, saved_flag
+
+    assert set(with_lib["topk"][0].tolist()) \
+        == set(fallback_topk[0].tolist())
+    np.testing.assert_array_equal(with_lib["topk"][1], fallback_topk[1])
+    np.testing.assert_array_equal(with_lib["indptr"], fallback_indptr)
