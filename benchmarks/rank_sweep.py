@@ -1,0 +1,52 @@
+"""Full experiment pipeline at ML-10M geometry: prepare data, build SVD
+once at max rank, evaluate 15 ranks via factor truncation.
+
+Reference comparison (BASELINE.md): the ML-10M rank sweep 10..150 takes
+~63 s total (~4.2 s per rank-eval) on CPU.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/rank_sweep.py
+"""
+import time
+
+import numpy as np
+
+from polara_tpu.data import RecommenderData
+from polara_tpu.datasets import make_synthetic_interactions
+from polara_tpu.evaluation.pipelines import find_optimal_svd_rank
+from polara_tpu.models import SVDModel
+
+
+def main():
+    t0 = time.perf_counter()
+    events = make_synthetic_interactions(69_878, 10_677, 10_000_000,
+                                         seed=0)
+    print(f"synthetic ML-10M events: {len(events)} "
+          f"({time.perf_counter() - t0:.1f}s to generate)")
+
+    t0 = time.perf_counter()
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0.05
+    data.holdout_size = 1
+    data.prepare()
+    print(f"prepare(): {time.perf_counter() - t0:.2f}s "
+          f"({len(data.test.holdout)} holdout events)")
+
+    model = SVDModel(data)
+    model.verbose = False
+    ranks = list(range(10, 160, 10))
+
+    t0 = time.perf_counter()
+    best_rank, scores = find_optimal_svd_rank(
+        model, ranks, target_metric="arhr", return_scores=True)
+    elapsed = time.perf_counter() - t0
+    print(f"rank sweep over {len(ranks)} ranks: {elapsed:.1f}s total, "
+          f"{elapsed / len(ranks):.2f}s per rank-eval "
+          "(ref: ~63s total, ~4.2s per rank-eval)")
+    print(f"best rank by ARHR: {best_rank}")
+    print(scores.round(4).to_string())
+
+
+if __name__ == "__main__":
+    main()

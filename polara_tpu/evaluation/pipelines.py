@@ -82,9 +82,19 @@ def find_optimal_svd_rank(model, ranks: Sequence[int], target_metric,
                           config: Optional[Dict] = None,
                           verbose: bool = False,
                           evaluator: Optional[Callable] = None,
-                          iterator: Callable = lambda x: x, **kwargs):
+                          iterator: Callable = lambda x: x,
+                          pad_to_top_rank: bool = True, **kwargs):
     """Rank sweep via one max-rank build + factor truncation
-    (reference ``pipelines.py:89-118`` + ``models.py:819-832``)."""
+    (reference ``pipelines.py:89-118`` + ``models.py:819-832``).
+
+    With ``pad_to_top_rank`` (default) truncated factors are zero-padded
+    back to the top rank: the trailing zero columns contribute nothing to
+    ``proj @ panelᵀ`` scores, but every rank then reuses ONE compiled
+    scoring executable — without it each rank is a fresh shape and pays a
+    full XLA compile (seconds per rank on TPU).
+    """
+    import jax.numpy as jnp
+
     evaluator = evaluator or evaluate_models
     model_verbose = model.verbose
     if config:
@@ -95,11 +105,29 @@ def find_optimal_svd_rank(model, ranks: Sequence[int], target_metric,
         model.verbose = verbose
         model.build()
     saved_factors = dict(**model.factors) if protect_factors else None
+    pad_to_top_rank = pad_to_top_rank and protect_factors
+
+    def set_rank(rank: int) -> None:
+        if not pad_to_top_rank:
+            model.rank = rank
+            return
+        model._rank = rank
+        padded = {}
+        for key, factor in saved_factors.items():
+            if (factor is not None and hasattr(factor, "shape")
+                    and factor.ndim >= 1 and factor.shape[-1] == top_rank
+                    and rank < top_rank):
+                factor = jnp.concatenate(
+                    [factor[..., :rank],
+                     jnp.zeros_like(factor[..., rank:])], axis=-1)
+            padded[key] = factor
+        model.factors = padded
+        model._recommendations = None
 
     results = {}
     try:
         for rank in iterator(sorted(ranks, reverse=True)):
-            model.rank = rank
+            set_rank(rank)
             results[rank] = evaluator(model, target_metric,
                                       **kwargs)[model.method]
             model._recommendations = None

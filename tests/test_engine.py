@@ -167,3 +167,22 @@ def test_evaluate_topk_rollback(data):
     big = model.evaluate("relevance", topk=20, simple_rates=True)
     assert model.topk == 20  # grew to cover the request
     assert model.recommendations.shape[1] == 20
+
+
+def test_rank_sweep_padding_matches_slicing(data):
+    """Zero-padded truncation scores identically to hard slicing."""
+    from polara_tpu.evaluation.pipelines import find_optimal_svd_rank
+    from polara_tpu.models import SVDModel
+
+    model = SVDModel(data)
+    model.verbose = False
+    _, padded = find_optimal_svd_rank(model, [4, 8, 12], "arhr",
+                                      return_scores=True,
+                                      pad_to_top_rank=True)
+    model2 = SVDModel(data)
+    model2.verbose = False
+    _, sliced = find_optimal_svd_rank(model2, [4, 8, 12], "arhr",
+                                      return_scores=True,
+                                      pad_to_top_rank=False)
+    import numpy as np
+    np.testing.assert_allclose(padded.values, sliced.values, rtol=1e-6)
