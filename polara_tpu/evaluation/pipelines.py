@@ -76,6 +76,26 @@ def evaluate_models(models, target_metric: str = "precision",
     return out
 
 
+def _mask_trailing_columns_impl(factor, rank):
+    import jax.numpy as jnp
+    cols = jnp.arange(factor.shape[-1])
+    return factor * (cols < rank).astype(factor.dtype)
+
+
+_mask_trailing_columns_jit = None
+
+
+def _mask_trailing_columns(factor, rank: int):
+    """Zero columns >= rank with the rank as a TRACED scalar — one
+    compiled masking program (per factor shape) serves every rank in a
+    sweep; a per-rank slice+concat would compile per distinct rank."""
+    global _mask_trailing_columns_jit
+    if _mask_trailing_columns_jit is None:
+        import jax
+        _mask_trailing_columns_jit = jax.jit(_mask_trailing_columns_impl)
+    return _mask_trailing_columns_jit(factor, rank)
+
+
 def find_optimal_svd_rank(model, ranks: Sequence[int], target_metric,
                           return_scores: bool = False,
                           protect_factors: bool = True,
@@ -117,9 +137,7 @@ def find_optimal_svd_rank(model, ranks: Sequence[int], target_metric,
             if (factor is not None and hasattr(factor, "shape")
                     and factor.ndim >= 1 and factor.shape[-1] == top_rank
                     and rank < top_rank):
-                factor = jnp.concatenate(
-                    [factor[..., :rank],
-                     jnp.zeros_like(factor[..., rank:])], axis=-1)
+                factor = _mask_trailing_columns(factor, rank)
             padded[key] = factor
         model.factors = padded
         model._recommendations = None
