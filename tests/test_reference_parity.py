@@ -645,3 +645,62 @@ def test_set_test_data_parity():
     assert len(ref2.test.testset) == len(ours2.test.testset)
     assert set(ref2.test.testset["userid"].unique()) \
         == set(ours2.test.testset["userid"].unique())
+
+
+def test_sampled_evaluation_mixin_parity():
+    """set_unseen_interactions / adapt_holdout reindex identically."""
+    from polara_tpu.data import RecommenderData as OurData
+    from polara_tpu.data.mixins import SampledEvaluationMixin
+
+    class RefSampled(ref_data_mod.RandomSampleEvaluationMixin,
+                     ref_data_mod.RecommenderData):
+        pass
+
+    class OurSampled(SampledEvaluationMixin, OurData):
+        pass
+
+    events = make_events(seed=13)
+    config = dict(warm_start=False, test_ratio=0, holdout_size=1,
+                  permute_tops=False)
+
+    ref = RefSampled(events.copy(), "userid", "movieid", "rating", seed=0)
+    ref.verbose = False
+    for name, value in config.items():
+        setattr(ref, name, value)
+    ref.prepare()
+
+    ours = OurSampled(events.copy(), "userid", "movieid", "rating",
+                      seed=0, verbose=False)
+    for name, value in config.items():
+        setattr(ours, name, value)
+    ours.prepare()
+
+    # identical unseen lists in the raw id space, fixed length
+    item_pool = events["movieid"].unique()
+    seen = events.groupby("userid")["movieid"].apply(set)
+    rs = np.random.RandomState(3)
+    unseen = pd.Series(
+        index=pd.Index(seen.index, name="userid"),
+        data=[rs.choice(sorted(set(item_pool) - s), 5,
+                        replace=False).tolist() for s in seen.values])
+
+    ref.set_unseen_interactions(unseen.copy())
+    ours.set_unseen_interactions(unseen.copy())
+
+    # internal unseen lists agree after reindexing (map back to raw ids)
+    ref_imap = ref.index.itemid.set_index("new")["old"] \
+        if not hasattr(ref.index.itemid, "training") \
+        else ref.index.itemid.training.set_index("new")["old"]
+    our_imap = ours.get_entity_index("movieid").set_index("new")["old"]
+    ref_umap = ref.index.userid.training.set_index("new")["old"]
+    our_umap = ours.index.userid.training.set_index("new")["old"]
+
+    ref_lists = {ref_umap[u]: tuple(ref_imap[i] for i in items)
+                 for u, items in ref.unseen_interactions.items()}
+    our_lists = {our_umap[u]: tuple(our_imap[i] for i in items)
+                 for u, items in ours.unseen_interactions.items()}
+    assert ref_lists == our_lists
+
+    # adapt_holdout's per-user positional column agrees
+    assert (ref.test.holdout["x_movieid"].values
+            == ours.test.holdout["x_movieid"].values).all()
