@@ -11,6 +11,7 @@ through numpy with zero extra dependencies.)
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -54,3 +55,32 @@ def load_factors(path: str, device: bool = True
     for key in record["none_keys"]:
         factors[key] = None
     return factors, record["meta"]
+
+
+def save_factors_orbax(path: str, factors: Dict[str, Any],
+                       meta: Optional[Dict[str, Any]] = None) -> None:
+    """Orbax backend: sharded/multi-host-friendly factor checkpoints.
+
+    Use for pod-scale factor sets; the npz backend stays the default for
+    single-host artifacts.
+    """
+    import orbax.checkpoint as ocp
+
+    payload = {"factors": {k: v for k, v in factors.items()
+                           if v is not None},
+               "none_keys": [k for k, v in factors.items() if v is None],
+               "meta": meta or {}}
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(os.path.abspath(path), payload)
+
+
+def load_factors_orbax(path: str) -> Tuple[Dict[str, Any],
+                                           Dict[str, Any]]:
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    payload = checkpointer.restore(os.path.abspath(path))
+    factors = {k: jnp.asarray(v) for k, v in payload["factors"].items()}
+    for key in payload["none_keys"]:
+        factors[key] = None
+    return factors, dict(payload["meta"])

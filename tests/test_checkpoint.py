@@ -98,3 +98,15 @@ def test_load_syncs_rank():
     fresh.load(path)
     assert fresh.rank == 8
     assert fresh.factors["movieid"].shape[1] == 8
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    from polara_tpu.runtime.checkpoint import (load_factors_orbax,
+                                               save_factors_orbax)
+    path = str(tmp_path / "ckpt")
+    factors = {"u": np.arange(12.0).reshape(4, 3), "skipped": None}
+    save_factors_orbax(path, factors, meta={"method": "orbax", "rank": 3})
+    loaded, meta = load_factors_orbax(path)
+    assert meta == {"method": "orbax", "rank": 3}
+    assert loaded["skipped"] is None
+    np.testing.assert_allclose(np.asarray(loaded["u"]), factors["u"])
