@@ -37,6 +37,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from polara_tpu.runtime.timing import enable_compilation_cache
+    enable_compilation_cache()  # persists executables across runs
+
     log(f"devices: {jax.devices()}")
     rows, cols, vals = make_synthetic_ml10m()
     log(f"synthetic ML-10M: {NNZ} events, {N_USERS}x{N_ITEMS}")
