@@ -704,3 +704,46 @@ def test_sampled_evaluation_mixin_parity():
     # adapt_holdout's per-user positional column agrees
     assert (ref.test.holdout["x_movieid"].values
             == ours.test.holdout["x_movieid"].values).all()
+
+
+def test_run_cv_experiment_parity():
+    """The fold-rotating CV driver produces the same per-fold metrics as
+    the reference engine running its own SVDModel."""
+    ref_engine = pytest.importorskip("polara.evaluation.evaluation_engine")
+    from polara_tpu.evaluation.engine import run_cv_experiment, topk_test
+    from polara_tpu.models import SVDModel
+
+    events = make_events(seed=14, n_users=60, n_items=40)
+    config = dict(warm_start=False, test_ratio=0.2, holdout_size=2,
+                  permute_tops=False)
+
+    ref_data = ref_data_mod.RecommenderData(events.copy(), "userid",
+                                            "movieid", "rating", seed=0)
+    ref_data.verbose = False
+    for name, value in config.items():
+        setattr(ref_data, name, value)
+    ref_model = ref_models_mod.SVDModel(ref_data)
+    ref_model.verbose = False
+    ref_model.rank = 8
+    ref_result = ref_engine.run_cv_experiment(
+        [ref_model], folds=[1, 2, 3], metrics=["ranking"],
+        fold_experiment=ref_engine.topk_test, topk_list=[5])
+
+    our_data = RecommenderData(events.copy(), "userid", "movieid",
+                               "rating", seed=0, verbose=False)
+    for name, value in config.items():
+        setattr(our_data, name, value)
+    our_model = SVDModel(our_data)
+    our_model.verbose = False
+    our_model.rank = 8
+    our_result = run_cv_experiment(
+        [our_model], folds=[1, 2, 3], metrics=["ranking"],
+        fold_experiment=topk_test, topk_list=[5])
+
+    ref_vals = (ref_result.sort_index(axis=1)
+                .xs("arhr", axis=1, level=-1, drop_level=False))
+    our_vals = (our_result.sort_index(axis=1)
+                .xs("arhr", axis=1, level=-1, drop_level=False))
+    np.testing.assert_allclose(np.sort(our_vals.values.ravel()),
+                               np.sort(ref_vals.values.ravel()),
+                               rtol=1e-5)
