@@ -316,7 +316,9 @@ class RecommenderData:
         # faster on 10M+ events); RNG-dependent modes keep the pandas path
         if (not at_random and not self._negative_prediction
                 and not self._permute_tops and size >= 1
-                and len(selector) >= 100_000):
+                and len(selector) >= 100_000
+                and not np.isnan(selector.values.astype(np.float64,
+                                                        copy=False)).any()):
             from polara_tpu import native
             if native.native_available():
                 groups = self._data.loc[selector.index, group_id]

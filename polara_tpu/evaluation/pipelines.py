@@ -111,10 +111,11 @@ def find_optimal_svd_rank(model, ranks: Sequence[int], target_metric,
     back to the top rank: the trailing zero columns contribute nothing to
     ``proj @ panelᵀ`` scores, but every rank then reuses ONE compiled
     scoring executable — without it each rank is a fresh shape and pays a
-    full XLA compile (seconds per rank on TPU).
+    full XLA compile (seconds per rank on TPU).  Zero-masking is only
+    score-neutral for the SVD family (orthogonal factor truncation); for
+    other factor models the sweep rebuilds at each rank via the rank
+    setter.
     """
-    import jax.numpy as jnp
-
     evaluator = evaluator or evaluate_models
     model_verbose = model.verbose
     if config:
@@ -125,7 +126,9 @@ def find_optimal_svd_rank(model, ranks: Sequence[int], target_metric,
         model.verbose = verbose
         model.build()
     saved_factors = dict(**model.factors) if protect_factors else None
-    pad_to_top_rank = pad_to_top_rank and protect_factors
+    from polara_tpu.models.svd import SVDModel
+    pad_to_top_rank = (pad_to_top_rank and protect_factors
+                       and isinstance(model, SVDModel))
 
     def set_rank(rank: int) -> None:
         if not pad_to_top_rank:

@@ -205,6 +205,9 @@ def group_top_k(groups: np.ndarray, values: np.ndarray, n_groups: int,
     Falls back to a numpy argsort when the library is unavailable."""
     groups = np.ascontiguousarray(groups, dtype=np.int32)
     values = np.ascontiguousarray(values, dtype=np.float64)
+    if k <= 0:
+        return (np.empty(0, dtype=np.int64),
+                np.zeros(n_groups, dtype=np.int64))
     lib = get_lib()
     if lib is None:
         order = np.lexsort((np.arange(len(groups)), -values, groups))

@@ -149,6 +149,10 @@ void row_unique_counts(const int32_t* rows, const int32_t* cols,
 void group_top_k(const int32_t* groups, const double* values, int64_t n,
                  int32_t n_groups, int32_t k, int64_t* out_idx,
                  int64_t* out_count) {
+    if (k <= 0) {
+        std::fill(out_count, out_count + n_groups, int64_t{0});
+        return;
+    }
     using Entry = std::pair<double, int64_t>;  // (value, event index)
     auto worse = [](const Entry& a, const Entry& b) {
         // min-heap on value; among equal values the EARLIER event is

@@ -49,9 +49,12 @@ def fold_in_name(key: jax.Array, name: str) -> jax.Array:
 
 def seed_generator(seed=None):
     """Infinite stream of fresh integer seeds (reference
-    ``polara/tools/random.py:17-21``) — spawn one per worker/thread for
-    independent streams."""
-    seed_sequence = np.random.SeedSequence(seed)
+    ``polara/tools/random.py:17-21``, draw-for-draw compatible) — spawn
+    one per worker/thread.  ``gen.send(new_seed)`` reseeds the stream,
+    matching the reference's coroutine protocol."""
+    rs = np.random.RandomState(seed)
+    max_int = np.iinfo(np.int32).max
     while True:
-        child = seed_sequence.spawn(1)[0]
-        yield child.generate_state(1)[0]
+        new_seed = yield rs.randint(max_int)
+        if new_seed is not None:
+            rs = np.random.RandomState(new_seed)

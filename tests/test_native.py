@@ -141,3 +141,11 @@ def test_numpy_fallbacks_match_native():
         == set(fallback_topk[0].tolist())
     np.testing.assert_array_equal(with_lib["topk"][1], fallback_topk[1])
     np.testing.assert_array_equal(with_lib["indptr"], fallback_indptr)
+
+
+def test_group_top_k_zero_k():
+    groups = np.array([0, 1, 1], dtype=np.int32)
+    values = np.array([1.0, 2.0, 3.0])
+    idx, counts = native.group_top_k(groups, values, 2, 0)
+    assert len(idx) == 0
+    np.testing.assert_array_equal(counts, [0, 0])

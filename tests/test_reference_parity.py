@@ -747,3 +747,16 @@ def test_run_cv_experiment_parity():
     np.testing.assert_allclose(np.sort(our_vals.values.ravel()),
                                np.sort(ref_vals.values.ravel()),
                                rtol=1e-5)
+
+
+def test_seed_generator_parity():
+    """Seed streams match the reference draw-for-draw, including the
+    send()-reseed coroutine protocol."""
+    ref_random = pytest.importorskip("polara.tools.random")
+    from polara_tpu.runtime.rng import seed_generator
+
+    ref = ref_random.seed_generator(7)
+    ours = seed_generator(7)
+    assert [next(ref) for _ in range(5)] == [next(ours) for _ in range(5)]
+    assert ref.send(42) == ours.send(42)
+    assert next(ref) == next(ours)
