@@ -91,9 +91,18 @@ def main():
                                n_valid_cols=N_ITEMS)
         return result, recs
 
-    # warm-up (compilation) round
+    # warm-up (compilation) round; a Mosaic regression must degrade to
+    # the XLA path, never fail the benchmark
     t0 = time.perf_counter()
-    _, recs = build_and_score()
+    try:
+        _, recs = build_and_score()
+    except Exception as err:  # pragma: no cover - hardware-dependent
+        if not use_fused:
+            raise
+        log(f"pallas backend failed ({err!r}); falling back to xla")
+        use_fused = False
+        t0 = time.perf_counter()
+        _, recs = build_and_score()
     log(f"warm-up (incl. compile): {time.perf_counter() - t0:.2f}s; "
         f"recs shape {recs.shape}")
 
