@@ -343,12 +343,13 @@ def test_svd_model_end_to_end_parity():
     assert agreement > 0.99
 
 
-def test_state_machine_random_walk_parity():
+@pytest.mark.parametrize("walk_seed", [11, 21, 31])
+def test_state_machine_random_walk_parity(walk_seed):
     """Random sequences of config changes drive both state machines
     through the same scenario transitions — after every update the
     resulting training/holdout sets must agree (deterministic sampling
     configs only)."""
-    rs = np.random.RandomState(11)
+    rs = np.random.RandomState(walk_seed)
     ref, ours = build_pair(dict(warm_start=False, test_ratio=0.2,
                                 holdout_size=2, permute_tops=False))
 
