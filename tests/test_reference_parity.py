@@ -372,8 +372,21 @@ def test_state_machine_random_walk_parity(walk_seed):
             setattr(ours, "holdout_size", 1)
         setattr(ref, name, value)
         setattr(ours, name, value)
-        ref.update()
-        ours.update()
+        ref_err = our_err = None
+        try:
+            ref.update()
+        except ValueError as err:
+            ref_err = err
+        try:
+            ours.update()
+        except ValueError as err:
+            our_err = err
+        # invalid configs must be rejected by BOTH implementations
+        assert (ref_err is None) == (our_err is None), \
+            f"validation divergence at step {step}: {name}={value} " \
+            f"(ref: {ref_err!r}, ours: {our_err!r})"
+        if ref_err is not None:
+            continue
         if ref.training is None:
             assert ours.training is None
             continue
