@@ -277,6 +277,12 @@ class ColdSimilarityMixin:
         similarity_index = self._rel_idx[entity]
         seen_pos = index_data.training["old"].map(similarity_index).values
         cold_pos = index_data.cold_start["old"].map(similarity_index).values
+        # mirror SideRelationsMixin._update_relations: absent ids map to
+        # NaN and an int cast would yield garbage row positions
+        if pd.isnull(seen_pos).any() or pd.isnull(cold_pos).any():
+            raise KeyError(
+                f"some of the {entity} ids are missing from the "
+                "similarity index")
         import jax.numpy as jnp
         seen_pos = jnp.asarray(seen_pos.astype(np.int32))
         cold_pos = jnp.asarray(cold_pos.astype(np.int32))

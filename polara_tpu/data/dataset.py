@@ -299,6 +299,15 @@ class RecommenderData:
         (``negative_prediction``), or uniformly random
         (``random_holdout``), each supporting integer and fractional
         ``holdout_size``; ``permute_tops`` pre-shuffles to randomize ties.
+
+        Deviation: for fractional top-rated holdout (scenario 2 with
+        0 < holdout_size < 1) the reference's ``group_largest_fraction``
+        keeps the top ``1-frac`` of each user's events in the holdout; here
+        ``holdout_size`` means the fraction HELD OUT, consistent with the
+        integer mode and with ``random_holdout`` fractions (regression
+        test: ``test_fractional_holdout_takes_top_fraction``).  A
+        zero-rounded fraction holds out nothing instead of the whole group
+        (second deviation, inline below).
         """
         order_field = self._custom_order or self.fields.feedback or []
         at_random = self._random_holdout or (order_field == [])

@@ -127,8 +127,17 @@ def find_optimal_svd_rank(model, ranks: Sequence[int], target_metric,
         model.build()
     saved_factors = dict(**model.factors) if protect_factors else None
     from polara_tpu.models.svd import SVDModel
+    # Zero-masking bypasses the rank setter's _check_reduced_rank hook.
+    # Subclasses that override the hook keep derived state in sync with the
+    # truncated factors (cold-start mixins recompute the pinv-gram feature
+    # transform; HybridSVD re-slices projectors) — masking would leave that
+    # state at full rank, silently diverging from true truncation.  Such
+    # models take the setter path and pay per-rank recompiles.
+    overrides_rank_hook = (type(model)._check_reduced_rank
+                           is not SVDModel._check_reduced_rank)
     pad_to_top_rank = (pad_to_top_rank and protect_factors
-                       and isinstance(model, SVDModel))
+                       and isinstance(model, SVDModel)
+                       and not overrides_rank_hook)
 
     def set_rank(rank: int) -> None:
         if not pad_to_top_rank:

@@ -85,10 +85,10 @@ class CoffeeModel(RecommenderModel):
                                                         factor.dtype)
             self.factors["core"] = jnp.asarray(core)
 
-    @property
-    def scores_multiplier(self) -> int:
-        feedback_factor = self.factors.get(self.data.fields.feedback)
-        return 1 if feedback_factor is None else 1  # rank-space scoring
+    # scores_multiplier stays at the base-class 1: unlike the reference
+    # (``models.py:214-221``, feedback-rank inflation), scoring here
+    # collapses each event to a scalar weight before the item contraction,
+    # so no rank^2 intermediate ever materializes (see module docstring).
 
     def build(self):
         from polara_tpu import config as defaults

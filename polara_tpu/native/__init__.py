@@ -107,7 +107,14 @@ def sample_unseen_rows(indptr: np.ndarray, indices: np.ndarray,
                        n_cols: int, k: int,
                        seed: Optional[int] = 0) -> np.ndarray:
     """For every CSR row, draw ``k`` uniform samples from the unseen
-    columns (without replacement)."""
+    columns (without replacement).
+
+    RNG note: the native path seeds an independent mt19937_64 per row
+    (seed ^ splitmix-constant*(row+1)) while the numpy fallback draws one
+    key array per row from a single RandomState — so for the same seed
+    the two paths return DIFFERENT (equally valid) samples.  Results are
+    deterministic within each path; never compare draws across paths.
+    """
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int32)
     n_rows = len(indptr) - 1

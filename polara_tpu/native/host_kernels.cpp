@@ -50,7 +50,11 @@ int sample_unseen_rows(const int64_t* indptr, const int32_t* indices,
     for (int32_t r = 0; r < n_rows; ++r) {
         const int64_t lo = indptr[r], hi = indptr[r + 1];
         if (n_cols - (hi - lo) < k) {
-            status = 1;  // not enough unseen columns
+            // not enough unseen columns; atomic: several rows may fail
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+            status = 1;
             continue;
         }
         std::unordered_set<int32_t> excluded(indices + lo, indices + hi);

@@ -125,7 +125,7 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
     """
     import math
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from polara_tpu.ops.implicit import (ImplicitFactors, confidence,
                                          ials_half_sweep)
@@ -152,7 +152,7 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
     half = jax.jit(shard_map(
         gathered_half_sweep, mesh=mesh,
         in_specs=(P(users_axis, None), P()), out_specs=P(),
-        check_rep=False))
+        check_vma=False))
 
     user_factors = None
     for _ in range(num_epochs):
@@ -173,7 +173,7 @@ def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
     replicate — they are panel-sized.  Event padding uses zero values, so
     partitioning does not change the math (up to float reduction order).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from polara_tpu.ops.hooi import HooiResult, _hooi_sweep
 
@@ -209,7 +209,7 @@ def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
     sweep = jax.jit(shard_map(
         sweep_local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P()), check_rep=False))
+        out_specs=(P(), P(), P(), P(), P()), check_vma=False))
 
     norm_old = 0.0
     history = []
@@ -264,7 +264,7 @@ def _sharded_topk_2d_step(mesh: Mesh, topk: int):
     if cached is not None:
         return cached
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     users_axis, model_axis = mesh.axis_names[0], mesh.axis_names[1]
 
@@ -291,6 +291,6 @@ def _sharded_topk_2d_step(mesh: Mesh, topk: int):
     step = jax.jit(shard_map(
         local_step, mesh=mesh,
         in_specs=(P(model_axis, None), P(users_axis, None)),
-        out_specs=P(users_axis, None), check_rep=False))
+        out_specs=P(users_axis, None), check_vma=False))
     _topk_2d_cache[key] = step
     return step

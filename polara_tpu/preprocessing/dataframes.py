@@ -57,32 +57,30 @@ def matrix_from_observations(data: pd.DataFrame, userid: str = "userid",
     """Encode an interaction frame as a sparse CSR matrix.
 
     Returns ``(matrix, user_index, item_index)``; when indexes are not
-    provided, fresh ones are built by factorization (reference
-    ``dataframes.py:42-76``).  The CSR output is host-side; hand it to
-    :func:`polara_tpu.ops.sparse.coo_from_arrays` (or
-    :meth:`CooMatrix.from_numpy`) to move onto device.
+    provided, fresh ones are built by factorization.  Same call contract
+    as the reference's ``dataframes.py:42-76`` (one correct shape for a
+    frame→CSR encoder); body written independently.  The CSR output is
+    host-side; hand it to :func:`polara_tpu.ops.sparse.coo_from_arrays`
+    (or :meth:`CooMatrix.from_numpy`) to move onto device.
     """
     from scipy.sparse import csr_matrix
 
-    if (user_index is None) or (item_index is None):
-        useridx, user_index = pd.factorize(data[userid], sort=preserve_order)
-        itemidx, item_index = pd.factorize(data[itemid], sort=preserve_order)
-        user_index.name = userid
-        item_index.name = itemid
-    else:
+    have_index = user_index is not None and item_index is not None
+    if have_index:
         data = reindex(data, (user_index, item_index), filter_invalid=True)
-        useridx = data[userid].values
-        itemidx = data[itemid].values
+        rows = data[userid].to_numpy()
+        cols = data[itemid].to_numpy()
         if shape is None:
             shape = (len(user_index), len(item_index))
-
-    if feedback is None:
-        values = np.ones_like(itemidx, dtype=dtype)
     else:
-        values = data[feedback].values
+        rows, user_index = pd.factorize(data[userid], sort=preserve_order)
+        cols, item_index = pd.factorize(data[itemid], sort=preserve_order)
+        user_index = user_index.rename(userid)
+        item_index = item_index.rename(itemid)
 
-    matrix = csr_matrix((values, (useridx, itemidx)), dtype=dtype,
-                        shape=shape)
+    values = (np.ones_like(cols, dtype=dtype) if feedback is None
+              else data[feedback].to_numpy())
+    matrix = csr_matrix((values, (rows, cols)), dtype=dtype, shape=shape)
     return matrix, user_index, item_index
 
 

@@ -94,7 +94,7 @@ def get_available_memory() -> float:
 
 
 def get_chunk_size(n_rows: int, n_cols: int, scores_multiplier: int = 1,
-                   budget_gb: Optional[float] = None) -> int:
+                   budget_gb: float | None = None) -> int:
     """Largest row-chunk whose dense score block fits the budget
     (reference ``polara/recommender/utils.py:16-47``); thin wrapper over
     the static planner."""
@@ -105,7 +105,7 @@ def get_chunk_size(n_rows: int, n_cols: int, scores_multiplier: int = 1,
 
 
 def array_split(n_rows: int, n_cols: int, scores_multiplier: int = 1,
-                budget_gb: Optional[float] = None) -> List[int]:
+                budget_gb: float | None = None) -> List[int]:
     """Chunk-boundary list like the reference's ``array_split``
     (``utils.py:50-53``): [0, c, 2c, ..., n_rows]."""
     chunk = get_chunk_size(n_rows, n_cols,
