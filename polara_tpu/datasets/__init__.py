@@ -14,10 +14,13 @@ from polara_tpu.datasets.movielens import (filter_short_head,
                                            get_movielens_data,
                                            get_split_genres)
 from polara_tpu.datasets.netflix import get_netflix_data
-from polara_tpu.datasets.synthetic import make_synthetic_interactions
+from polara_tpu.datasets.synthetic import (make_realistic_coo,
+                                           make_realistic_interactions,
+                                           make_synthetic_interactions)
 from polara_tpu.datasets.yahoo import get_yahoo_music_data
 
 __all__ = ["get_amazon_data", "get_bookcrossing_data", "get_epinions_data",
            "compute_graph_laplacian", "get_movielens_data",
            "get_split_genres", "filter_short_head", "get_netflix_data",
-           "get_yahoo_music_data", "make_synthetic_interactions"]
+           "get_yahoo_music_data", "make_synthetic_interactions",
+           "make_realistic_coo", "make_realistic_interactions"]

@@ -49,3 +49,127 @@ def make_synthetic_interactions(n_users: int = 1000, n_items: int = 500,
     if include_time:
         frame["timestamp"] = rs.randint(0, 10_000_000, len(users))
     return pd.DataFrame(frame)
+
+
+# ML-1M rating histogram (share of 1..5 stars over the full dataset);
+# used to discretize the latent scores so synthetic rating marginals
+# match the real data the reference's published numbers come from.
+ML1M_RATING_HIST = (0.056, 0.108, 0.261, 0.349, 0.226)
+
+
+def make_realistic_coo(n_users: int, n_items: int, n_events: int,
+                       rank: int = 16, popularity_skew: float = 0.85,
+                       activity_skew: float = 0.6,
+                       spectrum_decay: float = 0.6, noise: float = 0.4,
+                       affinity: float = 2.0, popularity_bias: float = 0.15,
+                       rating_hist=ML1M_RATING_HIST,
+                       min_events_per_user: int = 5,
+                       seed: Optional[int] = 0):
+    """Calibrated interaction log as sorted COO arrays.
+
+    Unlike :func:`make_synthetic_interactions` (uniform margins, fast
+    geometric latent decay) this generator is calibrated to MovieLens-like
+    structure, which matters for three things a uniform workload cannot
+    exercise (round-1 verdict):
+
+    * **popularity skew** — items follow a Zipf(``popularity_skew``)
+      profile and users a Zipf(``activity_skew``) activity profile, so
+      top-k runs into heavy tie mass on popular items and the rating
+      matrix has the dominant popularity component of real data;
+    * **slowly decaying spectrum** — latent factor k carries weight
+      ``k**-spectrum_decay`` (plus rating discretization noise), so the
+      matrix spectrum decays like a real rating matrix instead of the
+      ``0.7**k`` geometric cliff, which is the regime where randomized
+      SVD needs its power iterations;
+    * **preference-correlated exposure** — each user's item set is drawn
+      without replacement from ``softmax(log pop + affinity * u.v)``
+      (exact Gumbel-top-k sampling), so *which* items a user rated
+      carries latent signal, as in real logs.  This is what makes
+      personalized models beat raw popularity, reproducing the
+      reference's published quality ordering (README.md:117-123).
+
+    Ratings discretize latent scores onto 1..5 with global quantile
+    edges matched to the ML-1M histogram; popular items get a mild
+    positive rating bias (``popularity_bias``).  Pairs are unique by
+    construction.  Returns ``(rows, cols, vals)`` sorted by row; the
+    event count is ``n_events`` up to per-user clipping (within ~1%).
+    """
+    max_per_user = int(0.5 * n_items)
+    if n_events > n_users * max_per_user:
+        raise ValueError("n_events too dense for without-replacement "
+                         "sampling")
+    rs = np.random.RandomState(seed)
+    item_w = 1.0 / np.arange(1, n_items + 1) ** popularity_skew
+    item_w /= item_w.sum()
+    user_w = 1.0 / np.arange(1, n_users + 1) ** activity_skew
+    user_w /= user_w.sum()
+
+    # per-user event counts: largest-remainder split of n_events over the
+    # activity profile, clipped to [min_events_per_user, n_items/2]
+    quota = n_events * user_w
+    n_per_user = np.floor(quota).astype(np.int64)
+    short = int(n_events - n_per_user.sum())
+    if short > 0:
+        order = np.argsort(quota - n_per_user)[::-1]
+        n_per_user[order[:short]] += 1
+    n_per_user = np.clip(n_per_user, min_events_per_user, max_per_user)
+    n_per_user = rs.permutation(n_per_user)  # decouple activity from id
+
+    # low-rank latent with sigma_k ~ k^-decay
+    col_weights = np.arange(1, rank + 1, dtype=np.float64) ** -spectrum_decay
+    u_fac = rs.randn(n_users, rank) * col_weights
+    i_fac = rs.randn(n_items, rank)
+
+    log_pop = np.log(item_w)
+    rows_parts, cols_parts, score_parts = [], [], []
+    chunk = max(1, min(n_users, int(4e7) // max(n_items, 1)))
+    for start in range(0, n_users, chunk):
+        stop = min(start + chunk, n_users)
+        aff = u_fac[start:stop] @ i_fac.T
+        aff /= max(aff.std(), 1e-12)
+        logits = log_pop[None, :] + affinity * aff
+        # Gumbel-top-k == sampling without replacement from softmax(logits)
+        gumbel = -np.log(-np.log(
+            rs.random_sample((stop - start, n_items)) + 1e-300) + 1e-300)
+        keyed = logits + gumbel
+        kmax = int(n_per_user[start:stop].max())
+        top = np.argpartition(-keyed, kmax - 1, axis=1)[:, :kmax]
+        # order the candidate block by key so row r takes its first n_r
+        order = np.argsort(-np.take_along_axis(keyed, top, axis=1), axis=1)
+        top = np.take_along_axis(top, order, axis=1)
+        for r in range(stop - start):
+            k = int(n_per_user[start + r])
+            items_r = top[r, :k]
+            rows_parts.append(np.full(k, start + r, dtype=np.int32))
+            cols_parts.append(items_r.astype(np.int32))
+            score_parts.append(aff[r, items_r])
+    rows = np.concatenate(rows_parts)
+    cols = np.concatenate(cols_parts)
+    score = np.concatenate(score_parts)
+
+    # ratings: latent affinity + noise + mild popularity->rating bias
+    score = score + noise * rs.randn(len(score))
+    pop_z = np.log1p(cols.astype(np.float64))
+    pop_z = (pop_z - pop_z.mean()) / max(pop_z.std(), 1e-12)
+    score -= popularity_bias * pop_z  # low col index == popular == higher
+    edges = np.quantile(score, np.cumsum(rating_hist)[:-1])
+    vals = (np.digitize(score, edges) + 1).astype(np.float64)
+    return rows, cols, vals
+
+
+def make_realistic_interactions(n_users: int = 2000, n_items: int = 1200,
+                                n_events: int = 100_000,
+                                seed: Optional[int] = 0,
+                                **kwargs) -> pd.DataFrame:
+    """DataFrame wrapper over :func:`make_realistic_coo` with non-contiguous
+    external ids (so reindexing paths are exercised) and a deterministic
+    shuffle of event order (so fold splits see interleaved users, as a
+    timeline log would)."""
+    rows, cols, vals = make_realistic_coo(n_users, n_items, n_events,
+                                          seed=seed, **kwargs)
+    frame = pd.DataFrame({"userid": rows.astype(np.int64) * 7 + 10_001,
+                          "movieid": cols.astype(np.int64) * 3 + 501,
+                          "rating": vals.astype(np.int64)})
+    rs = np.random.RandomState(None if seed is None else seed + 1)
+    return (frame.sample(frac=1, random_state=rs)
+            .reset_index(drop=True))

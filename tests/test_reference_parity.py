@@ -238,16 +238,18 @@ def test_metric_engine_parity(with_split, seed):
                    if with_split else None)
     not_rated_penalty = 0 if with_split else 1
 
-    matrices = ref_eval.assemble_scoring_matrices(
-        recs, holdout, "userid", "movieid", is_positive, feedback="rating")
-    ref_rank = ref_eval.get_ranking_scores(
-        *matrices, topk, switch_positive, alternative=True)
-    ref_rel = ref_eval.get_relevance_scores(
-        *matrices, not_rated_penalty=not_rated_penalty)
-    ref_hits = ref_eval.get_hits(*matrices,
-                                 not_rated_penalty=not_rated_penalty)
-    ref_hr = ref_eval.get_hr_score(matrices[1]).hr
-    ref_rr = ref_eval.get_rr_scores(matrices[1])
+    with _deterministic_safe_divide():
+        matrices = ref_eval.assemble_scoring_matrices(
+            recs, holdout, "userid", "movieid", is_positive,
+            feedback="rating")
+        ref_rank = ref_eval.get_ranking_scores(
+            *matrices, topk, switch_positive, alternative=True)
+        ref_rel = ref_eval.get_relevance_scores(
+            *matrices, not_rated_penalty=not_rated_penalty)
+        ref_hits = ref_eval.get_hits(*matrices,
+                                     not_rated_penalty=not_rated_penalty)
+        ref_hr = ref_eval.get_hr_score(matrices[1]).hr
+        ref_rr = ref_eval.get_rr_scores(matrices[1])
 
     ours = compute_metrics(recs, holdout, "userid", "movieid",
                            feedback="rating", is_positive=is_positive,
@@ -255,7 +257,10 @@ def test_metric_engine_parity(with_split, seed):
                            not_rated_penalty=not_rated_penalty,
                            topk=topk, alternative=True)
 
-    rtol = 1e-5  # f64 reference vs f64-enabled jax
+    rtol = 1e-12  # f64 reference vs f64-enabled jax; deterministic
+    # safe_divide pins the reference's masked divisions to their intended
+    # zeros (modern numpy leaves them uninitialized), making exactness
+    # well-defined
     np.testing.assert_allclose(ours["hr"], ref_hr, rtol=rtol)
     np.testing.assert_allclose(ours["arhr"], ref_rr.arhr, rtol=rtol)
     np.testing.assert_allclose(ours["mrr"], ref_rr.mrr, rtol=rtol)
@@ -774,3 +779,173 @@ def test_seed_generator_parity():
     assert [next(ref) for _ in range(5)] == [next(ours) for _ in range(5)]
     assert ref.send(42) == ours.send(42)
     assert next(ref) == next(ours)
+
+
+# --------------------------------------------------------------------------
+# Round-2 quality gate: calibrated realistic data, 5-fold CV, reference vs
+# polara-tpu at 100k events (VERDICT r1 item 1).  Reference quality numbers
+# (README.md:117-123) come from real MovieLens; with no network egress the
+# calibrated generator (power-law margins, slow-decay spectrum, ML-1M
+# rating histogram) is the sanctioned substitute.
+# --------------------------------------------------------------------------
+
+class _deterministic_safe_divide:
+    """The reference's ``safe_divide`` (evaluation.py:18-20) calls
+    ``np.divide(..., where=mask)`` without an ``out`` buffer, leaving the
+    masked-out entries UNINITIALIZED under modern numpy.  Its intended
+    semantics (and what our engine implements) is zero there.  This
+    context manager pins the reference to that intent so an f64-exactness
+    comparison is well-defined."""
+
+    def __enter__(self):
+        self._orig = ref_eval.safe_divide
+
+        def safe_divide(a, b, mask=None, dtype=None):
+            pos = mask if mask is not None else a > 0
+            out = np.zeros(np.broadcast(a, b).shape,
+                           dtype=dtype or np.result_type(a, b, np.float64))
+            return np.divide(a, b, where=pos, out=out)
+
+        ref_eval.safe_divide = safe_divide
+        # the ranking module binds it at import time too
+        sys.modules["polara.recommender.evaluation"].safe_divide = \
+            safe_divide
+        return self
+
+    def __exit__(self, *exc):
+        ref_eval.safe_divide = self._orig
+        sys.modules["polara.recommender.evaluation"].safe_divide = \
+            self._orig
+        return False
+
+
+def _build_model_pair(events, config, model_pairs, seed=0):
+    """(reference, ours) data models + model lists with shared config."""
+    ref_data = ref_data_mod.RecommenderData(events.copy(), "userid",
+                                            "movieid", "rating", seed=seed)
+    ref_data.verbose = False
+    our_data = RecommenderData(events.copy(), "userid", "movieid",
+                               "rating", seed=seed, verbose=False)
+    for name, value in config.items():
+        setattr(ref_data, name, value)
+        setattr(our_data, name, value)
+    ref_models, our_models = [], []
+    for ref_cls, our_cls, setup in model_pairs:
+        ref_model, our_model = ref_cls(ref_data), our_cls(our_data)
+        ref_model.verbose = our_model.verbose = False
+        setup(ref_model)
+        setup(our_model)
+        ref_models.append(ref_model)
+        our_models.append(our_model)
+    return ref_data, our_data, ref_models, our_models
+
+
+def test_cv_quality_realistic():
+    """5-fold CV on calibrated ML-like data: per-fold SVD recommendations
+    >=99.9% identical, model-level metrics to 1e-6 (different SVD
+    solvers), and the metric ENGINE itself to 1e-12 f64 exactness on the
+    reference's own recommendations.  Also asserts the published quality
+    ordering (PureSVD > MP) that the reference README table demonstrates
+    on ML-1M."""
+    from polara_tpu.datasets import make_realistic_interactions
+    from polara_tpu.evaluation.metrics import compute_metrics
+    from polara_tpu.models import PopularityModel, SVDModel
+
+    events = make_realistic_interactions(2000, 1200, 100_000, seed=5)
+    config = dict(warm_start=False, test_ratio=0.2, holdout_size=3,
+                  permute_tops=False)
+
+    def svd_setup(model):
+        model.rank = 30
+
+    def mp_setup(model):
+        pass
+
+    _, _, (ref_svd, ref_mp), (our_svd, our_mp) = _build_model_pair(
+        events, config,
+        [(ref_models_mod.SVDModel, SVDModel, svd_setup),
+         (ref_models_mod.PopularityModel, PopularityModel, mp_setup)])
+
+    svd_recall, mp_recall = [], []
+    for fold in (1, 2, 3, 4, 5):
+        ref_svd.data.test_fold = fold
+        our_svd.data.test_fold = fold
+        # apply the pending split NOW so cached recommendations invalidate
+        # (what the reference CV engine does, evaluation_engine.py:137-138)
+        ref_svd.data.update()
+        our_svd.data.update()
+
+        ref_recs = np.asarray(ref_svd.recommendations)
+        our_recs = np.asarray(our_svd.recommendations)
+        agreement = (ref_recs == our_recs).mean()
+        assert agreement >= 0.999, f"fold {fold}: {agreement:.4%}"
+
+        # MP orderings agree up to tie permutations among equally popular
+        # items: the per-rank popularity counts are identical
+        counts = our_mp.data.training.groupby("movieid").size()
+        ref_mp_recs = np.asarray(ref_mp.recommendations)
+        our_mp_recs = np.asarray(our_mp.recommendations)
+        np.testing.assert_array_equal(
+            counts.loc[our_mp_recs.ravel()].values,
+            counts.loc[ref_mp_recs.ravel()].values)
+
+        # model-level metric agreement (independent factorizations);
+        # deterministic safe_divide everywhere the reference engine runs
+        with _deterministic_safe_divide():
+            ref_rel = ref_svd.evaluate("relevance")
+        our_rel = our_svd.evaluate("relevance")
+        np.testing.assert_allclose(our_rel.precision, ref_rel.precision,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(our_rel.recall, ref_rel.recall,
+                                   rtol=1e-6)
+        svd_recall.append(float(our_rel.recall))
+        mp_recall.append(float(our_mp.evaluate("relevance").recall))
+
+        # metric-ENGINE f64 exactness: same recommendations through both
+        # engines, every family, 1e-12 (deterministic safe_divide)
+        holdout = ref_svd.data.test.holdout
+        switch_positive = 4  # ML explicit-feedback convention
+        is_positive = (holdout["rating"] >= switch_positive).values
+        with _deterministic_safe_divide():
+            matrices = ref_eval.assemble_scoring_matrices(
+                ref_recs, holdout, "userid", "movieid", is_positive,
+                feedback="rating")
+            ref_rank = ref_eval.get_ranking_scores(
+                *matrices, ref_recs.shape[1], switch_positive,
+                alternative=True)
+            ref_relev = ref_eval.get_relevance_scores(*matrices,
+                                                      not_rated_penalty=0)
+            ref_hits = ref_eval.get_hits(*matrices, not_rated_penalty=0)
+            ref_hr = ref_eval.get_hr_score(matrices[1]).hr
+            ref_rr = ref_eval.get_rr_scores(matrices[1])
+        ours = compute_metrics(ref_recs, holdout, "userid", "movieid",
+                               feedback="rating", is_positive=is_positive,
+                               switch_positive=switch_positive,
+                               not_rated_penalty=0,
+                               topk=ref_recs.shape[1], alternative=True)
+        rtol = 1e-12
+        np.testing.assert_allclose(ours["hr"], ref_hr, rtol=rtol)
+        np.testing.assert_allclose(ours["arhr"], ref_rr.arhr, rtol=rtol)
+        np.testing.assert_allclose(ours["mrr"], ref_rr.mrr, rtol=rtol)
+        np.testing.assert_allclose(ours["map"], ref_rank.map, rtol=rtol)
+        np.testing.assert_allclose(ours["ndcg"], ref_rank.ndcg, rtol=rtol)
+        np.testing.assert_allclose(ours["ndcl"], ref_rank.ndcl, rtol=rtol)
+        np.testing.assert_allclose(ours["precision"], ref_relev.precision,
+                                   rtol=rtol)
+        np.testing.assert_allclose(ours["recall"], ref_relev.recall,
+                                   rtol=rtol)
+        np.testing.assert_allclose(ours["miss_rate"], ref_relev.miss_rate,
+                                   rtol=rtol)
+        np.testing.assert_allclose(ours["fallout"], ref_relev.fallout,
+                                   rtol=rtol)
+        np.testing.assert_allclose(ours["specifity"], ref_relev.specifity,
+                                   rtol=rtol)
+        np.testing.assert_array_equal(ours["tp"], ref_hits.true_positive)
+        np.testing.assert_array_equal(ours["fp"], ref_hits.false_positive)
+        np.testing.assert_array_equal(ours["tn"], ref_hits.true_negative)
+        np.testing.assert_array_equal(ours["fn"], ref_hits.false_negative)
+
+    # published quality ordering (README.md:117-123): personalized SVD
+    # beats popularity on every fold, both clear the random floor
+    assert min(svd_recall) > max(mp_recall) > 0.0
+    assert 0.02 < np.mean(svd_recall) < 0.95
