@@ -2,13 +2,29 @@
 
 BASELINE.json north star: "PureSVD rank-50 on ML-10M built and all test
 users scored top-10 in <2s on a single v5e-8".  The container has no
-network egress, so the workload runs on synthetic interactions with the
-exact ML-10M geometry (69,878 users x 10,677 items, 10M nonzeros).
+network egress, so the workload runs on calibrated synthetic interactions
+with the exact ML-10M geometry (69,878 users x 10,677 items, ~10M
+nonzeros): Zipf popularity/activity margins, slowly decaying latent
+spectrum and preference-correlated exposure (see
+``polara_tpu.datasets.synthetic.make_realistic_coo``), so both the rsvd
+convergence regime and the top-k tie mass resemble the real dataset
+rather than a flat uniform matrix.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Besides the timing, the run verifies itself (round-1 verdict: a
+time-only bench cannot detect wrong math):
+
+* ``accuracy`` — max relative singular-triplet residual
+  ``max_i |A v_i - s_i u_i| / s_1``: ~0 for a converged truncated SVD,
+  large if the factorization silently diverged;
+* ``fused_ok`` — the fused Pallas score->mask->top-k recommendations are
+  re-scored against the XLA reference path on a user slice; any pick
+  whose true score deviates beyond tolerance fails the check.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline > 1 means faster than the 2 s target.
 """
 import json
+import os
 import sys
 import time
 
@@ -20,17 +36,35 @@ def log(*args):
 
 
 N_USERS, N_ITEMS, NNZ = 69_878, 10_677, 10_000_054
-RANK, TOPK, POWER_ITERS = 50, 10, 6
+# 10 power iterations reach this workload's f32 accuracy floor
+# (max triplet residual ~1.7e-3; 6 iters leave 2.2e-3) for ~5ms extra
+RANK, TOPK, POWER_ITERS = 50, 10, 10
 BASELINE_SECONDS = 2.0
+VERIFY_USERS = 4096          # slice re-scored through the XLA path
+CACHE = "/tmp/polara_tpu_bench_ml10m_v1.npz"
 
 
-def make_synthetic_ml10m(seed=0):
-    rs = np.random.RandomState(seed)
-    rows = rs.randint(0, N_USERS, NNZ).astype(np.int32)
-    cols = rs.randint(0, N_ITEMS, NNZ).astype(np.int32)
-    vals = rs.randint(1, 11, NNZ).astype(np.float32) / 2.0  # 0.5..5 stars
-    order = np.argsort(rows, kind="stable")
-    return rows[order], cols[order], vals[order]
+def load_or_make_workload(seed=0):
+    """Calibrated ML-10M-geometry interactions, cached on disk.  The
+    Gumbel-top-k generation runs on the accelerator
+    (``make_realistic_coo_device``) — the (users × items) keying/sorting
+    is hopeless on the slow host CPU but takes seconds on device."""
+    if os.path.exists(CACHE):
+        log(f"workload cache hit: {CACHE}")
+        with np.load(CACHE) as blob:
+            return blob["rows"], blob["cols"], blob["vals"]
+    from polara_tpu.datasets.synthetic import make_realistic_coo_device
+    log("generating calibrated ML-10M workload on device (one-time)...")
+    t0 = time.perf_counter()
+    rows, cols, vals = make_realistic_coo_device(N_USERS, N_ITEMS, NNZ,
+                                                 seed=seed)
+    log(f"generated {len(rows)} events in {time.perf_counter() - t0:.0f}s")
+    try:
+        np.savez(CACHE, rows=rows, cols=cols,
+                 vals=vals.astype(np.float32))
+    except OSError as err:  # pragma: no cover - disk-full etc.
+        log(f"workload cache write failed: {err!r}")
+    return rows, cols, np.asarray(vals, np.float32)
 
 
 def main():
@@ -41,13 +75,14 @@ def main():
     enable_compilation_cache()  # persists executables across runs
 
     log(f"devices: {jax.devices()}")
-    rows, cols, vals = make_synthetic_ml10m()
-    log(f"synthetic ML-10M: {NNZ} events, {N_USERS}x{N_ITEMS}")
+    rows, cols, vals = load_or_make_workload()
+    nnz = len(rows)
+    log(f"calibrated ML-10M: {nnz} events, {N_USERS}x{N_ITEMS}")
 
     from polara_tpu.ops.rsvd import randomized_svd
-    from polara_tpu.ops.scoring import (ChunkedTestData, run_scoring,
-                                        run_scoring_fused)
+    from polara_tpu.ops.scoring import ChunkedTestData, run_scoring
     from polara_tpu.ops.sparse import CooMatrix
+    from polara_tpu.ops.topk import mask_and_topk
 
     matrix = CooMatrix.from_numpy(rows, cols, vals, (N_USERS, N_ITEMS),
                                   dtype=jnp.float32)
@@ -72,15 +107,15 @@ def main():
     if use_fused:
         from polara_tpu.ops.pallas import fused_score_topk
         seen_bits = plan.seen_bits(0, N_ITEMS)  # native pack, part of plan
-        proj_mm = jax.jit(lambda d, v: d @ v)
+    proj_mm = jax.jit(lambda d, v: d @ v)
 
-    def build_and_score():
-        result = randomized_svd(dense, RANK, n_iter=POWER_ITERS, seed=0,
+    def build_and_score(ratings):
+        result = randomized_svd(ratings, RANK, n_iter=POWER_ITERS, seed=0,
                                 dtype=jnp.float32)
         if use_fused:
             # test profiles == training rows: proj is one dense MXU
             # matmul (the per-event segment-sum scatter is the slow path)
-            proj = proj_mm(dense, result.v)
+            proj = proj_mm(ratings, result.v)
             recs = np.asarray(fused_score_topk(
                 proj, result.v, seen_bits, TOPK, filter_seen=True,
                 n_valid_cols=N_ITEMS))
@@ -95,32 +130,71 @@ def main():
     # the XLA path, never fail the benchmark
     t0 = time.perf_counter()
     try:
-        _, recs = build_and_score()
+        result, recs = build_and_score(dense)
     except Exception as err:  # pragma: no cover - hardware-dependent
         if not use_fused:
             raise
         log(f"pallas backend failed ({err!r}); falling back to xla")
         use_fused = False
         t0 = time.perf_counter()
-        _, recs = build_and_score()
+        result, recs = build_and_score(dense)
     log(f"warm-up (incl. compile): {time.perf_counter() - t0:.2f}s; "
         f"recs shape {recs.shape}")
 
     timings = []
-    for _ in range(3):
+    for i in range(3):
+        # perturb one rating so a caching/async-dispatch artifact cannot
+        # fake the timing (the tunnel's block_until_ready does not sync;
+        # the host copy inside build_and_score is the true barrier)
+        varied = dense.at[0, 0].add(np.float32(1e-3 * (i + 1)))
         t0 = time.perf_counter()
-        build_and_score()
+        build_and_score(varied)
         timings.append(time.perf_counter() - t0)
     best = min(timings)
     log(f"timings: {[f'{t:.3f}' for t in timings]}")
     log(f"scored users/sec at top-{TOPK} (incl. factorization): "
         f"{N_USERS / best:,.0f}")
 
+    # ---- accuracy: singular-triplet residual of the final factorization.
+    # For exact truncated SVD, A v_i = s_i u_i; the residual measures how
+    # far the randomized solver is from a true invariant subspace.
+    av = proj_mm(dense, result.v)                       # (m, k)
+    resid = av - result.u * result.s[None, :]
+    triplet_resid = jnp.linalg.norm(resid, axis=0) / result.s[0]
+    accuracy = float(jnp.max(triplet_resid))
+    log(f"max triplet residual |A v - s u| / s_1: {accuracy:.2e}")
+
+    # ---- fused-kernel verification: re-score the fused picks through the
+    # XLA path on a user slice; every pick must carry (numerically) the
+    # same score as the reference pick in the same slot.
+    fused_ok = None
+    if use_fused:
+        sel = rows < VERIFY_USERS
+        scores = jnp.asarray(dense[:VERIFY_USERS]) @ result.v @ result.v.T
+        xla_recs = mask_and_topk(
+            scores, jnp.asarray(rows[sel], jnp.int32),
+            jnp.asarray(cols[sel], jnp.int32),
+            jnp.ones(int(sel.sum()), bool), TOPK, filter_seen=True,
+            n_valid_cols=N_ITEMS)
+        s_xla = np.take_along_axis(np.asarray(scores),
+                                   np.asarray(xla_recs), axis=1)
+        s_fused = np.take_along_axis(np.asarray(scores),
+                                     recs[:VERIFY_USERS], axis=1)
+        scale = max(float(np.abs(s_xla).max()), 1e-6)
+        max_gap = float(np.abs(s_xla - s_fused).max()) / scale
+        exact = float((np.asarray(xla_recs) == recs[:VERIFY_USERS]).mean())
+        fused_ok = bool(max_gap < 1e-3)
+        log(f"fused vs xla on {VERIFY_USERS} users: exact agreement "
+            f"{exact:.4f}, max relative score gap {max_gap:.2e} "
+            f"-> fused_ok={fused_ok}")
+
     print(json.dumps({
         "metric": "ml10m_puresvd50_build_plus_score_top10",
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / best, 3),
+        "accuracy": round(accuracy, 8),
+        "fused_ok": fused_ok,
     }))
 
 

@@ -8,6 +8,7 @@ item popularity profile, so factor models have signal to find.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -106,14 +107,8 @@ def make_realistic_coo(n_users: int, n_items: int, n_events: int,
 
     # per-user event counts: largest-remainder split of n_events over the
     # activity profile, clipped to [min_events_per_user, n_items/2]
-    quota = n_events * user_w
-    n_per_user = np.floor(quota).astype(np.int64)
-    short = int(n_events - n_per_user.sum())
-    if short > 0:
-        order = np.argsort(quota - n_per_user)[::-1]
-        n_per_user[order[:short]] += 1
-    n_per_user = np.clip(n_per_user, min_events_per_user, max_per_user)
-    n_per_user = rs.permutation(n_per_user)  # decouple activity from id
+    n_per_user = _largest_remainder_counts(
+        n_events, user_w, min_events_per_user, max_per_user, rs)
 
     # low-rank latent with sigma_k ~ k^-decay
     col_weights = np.arange(1, rank + 1, dtype=np.float64) ** -spectrum_decay
@@ -154,6 +149,125 @@ def make_realistic_coo(n_users: int, n_items: int, n_events: int,
     score -= popularity_bias * pop_z  # low col index == popular == higher
     edges = np.quantile(score, np.cumsum(rating_hist)[:-1])
     vals = (np.digitize(score, edges) + 1).astype(np.float64)
+    return rows, cols, vals
+
+
+def _largest_remainder_counts(n_events: int, weights: np.ndarray,
+                              lo: int, hi: int,
+                              rs: np.random.RandomState) -> np.ndarray:
+    """Integer per-user event counts from a weight profile, clipped to
+    [lo, hi] and permuted so activity decouples from user id."""
+    quota = n_events * weights
+    counts = np.floor(quota).astype(np.int64)
+    short = int(n_events - counts.sum())
+    if short > 0:
+        order = np.argsort(quota - counts)[::-1]
+        counts[order[:short]] += 1
+    counts = np.clip(counts, lo, hi)
+    return rs.permutation(counts)
+
+
+def make_realistic_coo_device(n_users: int, n_items: int, n_events: int,
+                              rank: int = 16, popularity_skew: float = 0.85,
+                              activity_skew: float = 0.6,
+                              spectrum_decay: float = 0.6,
+                              noise: float = 0.4, affinity: float = 2.0,
+                              popularity_bias: float = 0.15,
+                              rating_hist=ML1M_RATING_HIST,
+                              min_events_per_user: int = 5,
+                              seed: int = 0, row_chunk: int = 8192):
+    """Device-side counterpart of :func:`make_realistic_coo`.
+
+    Same calibration (Zipf margins, slow-decay latent spectrum,
+    preference-correlated exposure via exact Gumbel-top-k sampling
+    without replacement), but the (users × items) keying/sorting work —
+    the part that is hopeless on a slow host — runs as JAX programs on
+    the accelerator, chunked over user rows.  Different RNG streams than
+    the numpy version (jax.random vs RandomState), so draws are not
+    comparable; the *distribution* is.
+
+    Returns numpy ``(rows, cols, vals)`` sorted by row.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    max_per_user = int(0.5 * n_items)
+    if n_events > n_users * max_per_user:
+        raise ValueError("n_events too dense for without-replacement "
+                         "sampling")
+    rs = np.random.RandomState(seed)
+    item_w = 1.0 / np.arange(1, n_items + 1) ** popularity_skew
+    item_w /= item_w.sum()
+    user_w = 1.0 / np.arange(1, n_users + 1) ** activity_skew
+    user_w /= user_w.sum()
+    n_per_user = _largest_remainder_counts(
+        n_events, user_w, min_events_per_user, max_per_user, rs)
+
+    col_weights = np.arange(1, rank + 1, dtype=np.float64) ** -spectrum_decay
+    key = jax.random.key(seed)
+    k_u, k_i, k_noise, k_gumbel = jax.random.split(key, 4)
+    u_fac = (jax.random.normal(k_u, (n_users, rank), jnp.float32)
+             * jnp.asarray(col_weights, jnp.float32))
+    i_fac = jax.random.normal(k_i, (n_items, rank), jnp.float32)
+    log_pop = jnp.asarray(np.log(item_w), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("take",))
+    def chunk_events(u_chunk, counts, gumbel_key, take: int):
+        """Top-``counts[r]`` Gumbel-perturbed items per chunk row,
+        compacted to flat (row, col, affinity-score) arrays of static
+        length ``take`` (= the chunk's exact event total)."""
+        aff = u_chunk @ i_fac.T
+        aff = aff / jnp.maximum(aff.std(), 1e-12)
+        keyed = log_pop[None, :] + affinity * aff
+        keyed = keyed + jax.random.gumbel(gumbel_key, keyed.shape,
+                                          keyed.dtype)
+        order = jnp.argsort(-keyed, axis=1)
+        pos = jax.lax.broadcasted_iota(jnp.int32, order.shape, 1)
+        mask = pos < counts[:, None]
+        flat = jnp.nonzero(mask.ravel(), size=take)[0]
+        rows_local = (flat // n_items).astype(jnp.int32)
+        cols_sel = order.ravel()[flat].astype(jnp.int32)
+        return rows_local, cols_sel, aff[rows_local, cols_sel]
+
+    starts = list(range(0, n_users, row_chunk))
+    takes = [int(n_per_user[s:min(s + row_chunk, n_users)].sum())
+             for s in starts]
+    width = max(takes)  # one compiled event width for every chunk
+    rows_parts, cols_parts, score_parts = [], [], []
+    keys = jax.random.split(k_gumbel, len(starts))
+    for c, start in enumerate(starts):
+        stop = min(start + row_chunk, n_users)
+        take = takes[c]
+        # pad the user block so every chunk reuses one executable
+        u_chunk = u_fac[start:stop]
+        counts_dev = jnp.asarray(n_per_user[start:stop], jnp.int32)
+        if stop - start < row_chunk:
+            pad = row_chunk - (stop - start)
+            u_chunk = jnp.pad(u_chunk, ((0, pad), (0, 0)))
+            counts_dev = jnp.pad(counts_dev, (0, pad))
+        r_loc, c_sel, s_sel = chunk_events(u_chunk, counts_dev, keys[c],
+                                           width)
+        rows_parts.append(r_loc[:take] + jnp.int32(start))
+        cols_parts.append(c_sel[:take])
+        score_parts.append(s_sel[:take])
+    rows_dev = jnp.concatenate(rows_parts)
+    cols_dev = jnp.concatenate(cols_parts)
+    score = jnp.concatenate(score_parts).astype(jnp.float32)
+
+    # ratings: latent + noise + mild popularity->rating bias, discretized
+    # on global quantile edges matched to the target rating histogram
+    score = score + noise * jax.random.normal(k_noise, score.shape,
+                                              score.dtype)
+    pop_z = jnp.log1p(cols_dev.astype(jnp.float32))
+    pop_z = (pop_z - pop_z.mean()) / jnp.maximum(pop_z.std(), 1e-12)
+    score = score - popularity_bias * pop_z
+    edges = jnp.quantile(score, jnp.asarray(np.cumsum(rating_hist)[:-1],
+                                            score.dtype))
+    vals_dev = (jnp.searchsorted(edges, score, side="right") + 1)
+
+    rows = np.asarray(rows_dev)
+    cols = np.asarray(cols_dev)
+    vals = np.asarray(vals_dev, np.float64)
     return rows, cols, vals
 
 

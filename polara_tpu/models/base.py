@@ -61,8 +61,15 @@ class RecommenderModel:
         if "build" in cls.__dict__:
             cls.build = _flush_before_build(cls.__dict__["build"])
 
-    def __init__(self, recommender_data, feedback_threshold=None):
+    def __init__(self, recommender_data, feedback_threshold=None,
+                 mesh=None):
         self.data = recommender_data
+        # Explicit device mesh (jax.sharding.Mesh) routes factorization and
+        # scoring through the distributed paths; None defers to the
+        # framework default (runtime.mesh.set_default_mesh / use_mesh) —
+        # the multi-chip replacement for the reference's thread pool
+        # (``models.py:374-405``, SURVEY §5.8).
+        self.mesh = mesh
         self._recommendations: Optional[np.ndarray] = None
         self._test_plan: Optional[ChunkedTestData] = None
         self._test_users: Optional[np.ndarray] = None
@@ -143,6 +150,15 @@ class RecommenderModel:
 
     def get_base_configuration(self) -> Dict[str, Any]:
         return {attr: getattr(self, attr) for attr in self._config}
+
+    @property
+    def active_mesh(self):
+        """The mesh this model computes over: its own ``mesh`` attribute if
+        set, else the framework default (``runtime.mesh.use_mesh``)."""
+        if self.mesh is not None:
+            return self.mesh
+        from polara_tpu.runtime.mesh import get_default_mesh
+        return get_default_mesh()
 
     # --- training-data access -----------------------------------------------
 
@@ -274,9 +290,10 @@ class RecommenderModel:
         params = dict(self.score_params())
         params["test_users"] = jnp.asarray(test_users, jnp.int32)
 
+        mesh = self.active_mesh
         mode = defaults.get_default("pallas_scoring")
-        usable = self._fused_scoring_capable() and self.topk <= 128 \
-            and "item_panel" in params
+        usable = (self._fused_scoring_capable() and self.topk <= 128
+                  and "item_panel" in params and mesh is None)
         on_tpu = jax.default_backend() == "tpu"
         if usable and (mode is True or (mode == "auto" and on_tpu)):
             return run_scoring_fused(
@@ -285,7 +302,7 @@ class RecommenderModel:
                 interpret=not on_tpu)
         return run_scoring(plan, type(self).score_chunk, params,
                            topk=self.topk, filter_seen=self.filter_seen,
-                           n_valid_cols=plan.n_items)
+                           n_valid_cols=plan.n_items, mesh=mesh)
 
     # --- single-user convenience ---------------------------------------------
 

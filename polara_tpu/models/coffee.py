@@ -100,7 +100,8 @@ class CoffeeModel(RecommenderModel):
         # the verbose host-stepped loop uses the segment path, so skip
         # the (large) tensor build when per-sweep output is requested
         dense_tensor = None
-        if not self.show_output and int(np.prod(shp)) * itemsize <= budget:
+        if (not self.show_output and self.active_mesh is None
+                and int(np.prod(shp)) * itemsize <= budget):
             dense_tensor = self._training_matrix_cache.get("coffee_tensor")
             if dense_tensor is None or dense_tensor.shape != tuple(shp):
                 from polara_tpu.ops.sparse import dense_from_coo
@@ -109,14 +110,23 @@ class CoffeeModel(RecommenderModel):
                     dtype=self.compute_dtype)
                 self._training_matrix_cache["coffee_tensor"] = dense_tensor
 
+        mesh = self.active_mesh
         with track_time(self.training_time, verbose=self.verbose,
                         model=self.method):
-            result = hooi(idx, val, shp, self.mlrank,
-                          num_iters=self.num_iters,
-                          growth_tol=self.growth_tol, seed=self.seed,
-                          dtype=self.compute_dtype,
-                          verbose=self.show_output,
-                          dense_tensor=dense_tensor)
+            if mesh is not None:
+                from polara_tpu.parallel.distributed import distributed_hooi
+                result = distributed_hooi(
+                    idx, val, shp, self.mlrank, mesh,
+                    num_iters=self.num_iters, growth_tol=self.growth_tol,
+                    seed=self.seed, dtype=self.compute_dtype,
+                    verbose=self.show_output)
+            else:
+                result = hooi(idx, val, shp, self.mlrank,
+                              num_iters=self.num_iters,
+                              growth_tol=self.growth_tol, seed=self.seed,
+                              dtype=self.compute_dtype,
+                              verbose=self.show_output,
+                              dense_tensor=dense_tensor)
             jax.block_until_ready(result.core)
         userid, itemid, feedback = self.data.fields
         self.factors[userid] = result.u0

@@ -93,14 +93,24 @@ class ImplicitALS(_RankedFactorModel):
 
     def build(self):
         dense = self.get_training_matrix(dense=True)
+        mesh = self.active_mesh
         with track_time(self.training_time, verbose=self.verbose,
                         model=self.method):
-            result = ials_train(
-                dense, self.rank, alpha=self.alpha,
-                weight=self.weight_func, epsilon=self.epsilon,
-                reg=self.regularization, num_epochs=self.num_epochs,
-                seed=self.seed, batch_rows=self.batch_rows,
-                dtype=self.compute_dtype)
+            if mesh is not None:
+                from polara_tpu.parallel.distributed import distributed_ials
+                result = distributed_ials(
+                    dense, self.rank, mesh, alpha=self.alpha,
+                    weight=self.weight_func, epsilon=self.epsilon,
+                    reg=self.regularization, num_epochs=self.num_epochs,
+                    seed=self.seed, batch_rows=self.batch_rows,
+                    dtype=self.compute_dtype)
+            else:
+                result = ials_train(
+                    dense, self.rank, alpha=self.alpha,
+                    weight=self.weight_func, epsilon=self.epsilon,
+                    reg=self.regularization, num_epochs=self.num_epochs,
+                    seed=self.seed, batch_rows=self.batch_rows,
+                    dtype=self.compute_dtype)
             jax.block_until_ready(result)
         self.factors[self.data.fields.userid] = result.user
         self.factors[self.data.fields.itemid] = result.item

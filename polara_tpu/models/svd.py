@@ -64,6 +64,7 @@ class SVDModel(RecommenderModel):
 
     def build(self, operator: Optional[MatmulOperator] = None,
               return_factors: str = "vh"):
+        mesh = self.active_mesh
         if operator is not None:
             svd_matrix = operator
         else:
@@ -74,12 +75,16 @@ class SVDModel(RecommenderModel):
             # The densified block is cached across rebuilds, keyed by the
             # scaling signature so ScaledSVD sweeps stay correct (one
             # entry at a time — sweeps must not accumulate dense blocks).
+            # With a mesh, the per-device HBM budget scales by the mesh
+            # size (rows shard over the ``users`` axis).
             budget = defaults.get_default("hbm_score_budget_gb") * 2**30
+            if mesh is not None:
+                budget *= mesh.devices.size
             n_rows, n_cols = matrix.shape
             dense_bytes = n_rows * n_cols * jnp.dtype(self.compute_dtype).itemsize
             if dense_bytes <= budget:
                 from polara_tpu.ops.sparse import dense_operator
-                key = ("svd_dense",) + self._scaling_signature()
+                key = ("svd_dense", mesh) + self._scaling_signature()
                 dense = self._training_matrix_cache.get(key)
                 if dense is None:
                     for stale in [k for k in self._training_matrix_cache
@@ -87,18 +92,26 @@ class SVDModel(RecommenderModel):
                                   and k and k[0] == "svd_dense"]:
                         del self._training_matrix_cache[stale]
                     dense = matrix.to_dense()
+                    if mesh is not None:
+                        # rows over the users axis; GSPMD turns the Gram
+                        # products inside CholeskyQR2 into b×b psums
+                        from polara_tpu.runtime.mesh import user_sharding
+                        dense = jax.device_put(dense, user_sharding(mesh))
                     self._training_matrix_cache[key] = dense
                 svd_matrix = dense_operator(dense)
             else:
                 svd_matrix = matrix.operator()
 
+        # CholeskyQR2 panels SPMD cleanly (Gram psums); Householder QR
+        # would gather the full panel onto one device
+        qr_method = "cholesky2" if mesh is not None else None
         with track_time(self.training_time, verbose=self.verbose,
                         model=self.method):
             result = randomized_svd(
                 svd_matrix, self.rank,
                 oversample=self.svd_oversample,
                 n_iter=self.svd_iters, tol=self.svd_tol,
-                seed=self.seed)
+                seed=self.seed, qr_method=qr_method)
             result = jax.block_until_ready(result)
 
         userid, itemid, _ = self.data.fields

@@ -144,13 +144,25 @@ _step_cache: dict = {}
 
 
 def compiled_step(score_fn: ScoreFn, topk: int, filter_seen: bool,
-                  n_valid_cols: Optional[int]):
-    key = (score_fn, topk, filter_seen, n_valid_cols)
+                  n_valid_cols: Optional[int], mesh=None):
+    """Jitted score→downvote→top-k step, memoized by function identity.
+
+    With ``mesh`` set, the dense score block is sharding-constrained to
+    rows-over-``users`` — GSPMD partitions the score matmul and the top-k
+    across the mesh (the SPMD replacement for the reference's thread pool
+    over user slices, ``models.py:374-405``)."""
+    key = (score_fn, topk, filter_seen, n_valid_cols, mesh)
     step = _step_cache.get(key)
     if step is None:
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            row_sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
         @jax.jit
         def step(params, chunk: TestChunk) -> jax.Array:
             scores = score_fn(params, chunk)
+            if mesh is not None:
+                scores = jax.lax.with_sharding_constraint(scores,
+                                                          row_sharding)
             return mask_and_topk(scores, chunk.rows, chunk.cols,
                                  chunk.valid, topk,
                                  filter_seen=filter_seen,
@@ -161,10 +173,10 @@ def compiled_step(score_fn: ScoreFn, topk: int, filter_seen: bool,
 
 def run_scoring(data: ChunkedTestData, score_fn: ScoreFn, params: dict,
                 topk: int, filter_seen: bool = True,
-                n_valid_cols: Optional[int] = None) -> np.ndarray:
+                n_valid_cols: Optional[int] = None, mesh=None) -> np.ndarray:
     """Score every chunk, mask seen items, take top-k; returns host int32
     array of shape (n_users, topk)."""
-    step = compiled_step(score_fn, topk, filter_seen, n_valid_cols)
+    step = compiled_step(score_fn, topk, filter_seen, n_valid_cols, mesh)
     parts = []
     for c, chunk in enumerate(data.chunks):
         recs = step(params, chunk)

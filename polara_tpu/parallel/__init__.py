@@ -1,9 +1,17 @@
 from polara_tpu.parallel.distributed import (cholesky_qr2,
                                              distributed_randomized_svd,
+                                             distributed_ials,
+                                             distributed_hooi,
                                              score_mask_topk_step,
+                                             sharded_score_topk_2d,
                                              full_train_step)
-from polara_tpu.runtime.mesh import make_mesh, user_sharding, shard_rows
+from polara_tpu.runtime.mesh import (make_mesh, user_sharding, shard_rows,
+                                     set_default_mesh, get_default_mesh,
+                                     use_mesh)
 
 __all__ = ["cholesky_qr2", "distributed_randomized_svd",
-           "score_mask_topk_step", "full_train_step",
-           "make_mesh", "user_sharding", "shard_rows"]
+           "distributed_ials", "distributed_hooi",
+           "score_mask_topk_step", "sharded_score_topk_2d",
+           "full_train_step",
+           "make_mesh", "user_sharding", "shard_rows",
+           "set_default_mesh", "get_default_mesh", "use_mesh"]

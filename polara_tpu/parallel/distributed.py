@@ -112,7 +112,7 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
                      alpha: float = 1.0, weight="log2",
                      epsilon: float = 1.0, reg: float = 0.01,
                      num_epochs: int = 15, seed: Optional[int] = 0,
-                     batch_rows: int = 64):
+                     batch_rows: int = 64, dtype=jnp.float32):
     """Confidence-weighted ALS over a row-sharded ratings matrix.
 
     Each half-sweep is embarrassingly parallel over its row axis (the
@@ -131,19 +131,26 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
                                          ials_half_sweep)
 
     users_axis = mesh.axis_names[0]
+    n_dev = mesh.shape[users_axis]
     row_sharding = NamedSharding(mesh, P(users_axis, None))
     repl = NamedSharding(mesh, P())
 
-    cm1 = confidence(dense_ratings.astype(jnp.float32), alpha, weight,
+    cm1 = confidence(dense_ratings.astype(dtype), alpha, weight,
                      epsilon)
     n_users, n_items = cm1.shape
-    cm1 = jax.device_put(cm1, row_sharding)
+    # shard_map needs the sharded axis divisible by the mesh; zero-pad
+    # both entity axes (zero rows solve to zero factors and contribute
+    # nothing to the opposite sweep — sliced off at the end)
+    pad_u = (-n_users) % n_dev
+    pad_i = (-n_items) % n_dev
+    cm1 = jnp.pad(cm1, ((0, pad_u), (0, pad_i)))
     cm1_t = jax.device_put(cm1.T, row_sharding)   # one-time resharding
+    cm1 = jax.device_put(cm1, row_sharding)
 
     key = jax.random.key(0 if seed is None else seed)
     item_factors = jax.device_put(
-        jax.random.normal(key, (n_items, rank), jnp.float32)
-        * (1.0 / math.sqrt(rank)), repl)
+        jnp.pad(jax.random.normal(key, (n_items, rank), dtype)
+                * (1.0 / math.sqrt(rank)), ((0, pad_i), (0, 0))), repl)
 
     def gathered_half_sweep(cm1_local, other):
         x_local = ials_half_sweep(cm1_local, other, reg, batch_rows)
@@ -158,7 +165,8 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
     for _ in range(num_epochs):
         user_factors = half(cm1, item_factors)
         item_factors = half(cm1_t, user_factors)
-    return ImplicitFactors(user=user_factors, item=item_factors)
+    return ImplicitFactors(user=user_factors[:n_users],
+                           item=item_factors[:n_items])
 
 
 def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,

@@ -3,7 +3,9 @@ from polara_tpu.runtime.timing import (track_time, timed_blocked,
                                        enable_compilation_cache)
 from polara_tpu.runtime.rng import (check_random_state, random_seeds,
                                     key_from_seed)
-from polara_tpu.runtime.mesh import make_mesh, user_sharding, shard_rows
+from polara_tpu.runtime.mesh import (make_mesh, user_sharding, shard_rows,
+                                     set_default_mesh, get_default_mesh,
+                                     use_mesh)
 from polara_tpu.runtime.memory import (plan_user_chunks, range_division,
                                        pad_dim, array_split, get_chunk_size,
                                        get_available_memory,
@@ -17,6 +19,7 @@ __all__ = [
     "profiler_trace", "enable_compilation_cache",
     "check_random_state", "random_seeds", "key_from_seed",
     "make_mesh", "user_sharding", "shard_rows",
+    "set_default_mesh", "get_default_mesh", "use_mesh",
     "plan_user_chunks", "range_division", "pad_dim", "array_split",
     "get_chunk_size", "get_available_memory", "read_npz_from_url",
     "save_factors", "load_factors", "print_frames", "suppress_stdout",

@@ -9,11 +9,42 @@ by GSPMD from sharding annotations, riding ICI within a slice.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+import contextlib
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Framework-wide default mesh.  When set, every model built afterwards
+# (without an explicit ``mesh=`` argument) routes its factorization and
+# scoring through the distributed paths — the pod-scale counterpart of the
+# reference's global ``max_test_workers`` thread-pool knob
+# (``polara/recommender/defaults.py:52``, ``models.py:374-405``).
+_DEFAULT_MESH: Optional[Mesh] = None
+
+
+def set_default_mesh(mesh: Optional[Mesh]) -> None:
+    """Install (or clear, with ``None``) the framework-wide default mesh."""
+    global _DEFAULT_MESH
+    _DEFAULT_MESH = mesh
+
+
+def get_default_mesh() -> Optional[Mesh]:
+    return _DEFAULT_MESH
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Optional[Mesh]) -> Iterator[Optional[Mesh]]:
+    """Scoped default mesh: models without an explicit ``mesh=`` that build
+    or score inside the block run distributed over it."""
+    global _DEFAULT_MESH
+    saved = _DEFAULT_MESH
+    _DEFAULT_MESH = mesh
+    try:
+        yield mesh
+    finally:
+        _DEFAULT_MESH = saved
 
 
 def make_mesh(n_devices: Optional[int] = None,

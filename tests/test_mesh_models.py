@@ -1,0 +1,155 @@
+"""Model-zoo ↔ mesh integration: models built/scored over a device mesh
+must reproduce the single-device results.
+
+The reference parallelizes inference with a thread pool over user slices
+(``polara/recommender/models.py:374-405``); here the same models accept a
+``mesh=`` argument (or pick up a framework default via ``use_mesh``) and
+run their factorization + scoring SPMD over the ``users`` axis.  Tests run
+on the virtual 8-device CPU mesh from conftest.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from polara_tpu.data import RecommenderData
+from polara_tpu.datasets.synthetic import make_realistic_interactions
+from polara_tpu.models import SVDModel
+from polara_tpu.models.coffee import CoffeeModel
+from polara_tpu.models.implicit_mf import ImplicitALS
+from polara_tpu.runtime.mesh import (get_default_mesh, make_mesh,
+                                     set_default_mesh, use_mesh)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(axes=("users", "model"), shape=(8, 1))
+
+
+def _prepared_data(seed=0, **overrides):
+    frame = make_realistic_interactions(n_users=240, n_items=120,
+                                        n_events=7000, seed=seed)
+    data = RecommenderData(frame, "userid", "movieid", "rating", seed=11)
+    data.verbose = False
+    for name, value in overrides.items():
+        setattr(data, name, value)
+    data.prepare()
+    return data
+
+
+def _agreement(a: np.ndarray, b: np.ndarray) -> float:
+    return float((a == b).mean())
+
+
+def test_svd_model_mesh_matches_single_device(mesh):
+    data = _prepared_data()
+    single = SVDModel(data)
+    single.verbose = False
+    single.compute_dtype = jnp.float64
+    single.rank = 6
+    single.build()
+
+    dist = SVDModel(data, mesh=mesh)
+    dist.verbose = False
+    dist.compute_dtype = jnp.float64
+    dist.rank = 6
+    dist.build()
+
+    # the sharded factorization converges to the same subspace
+    from polara_tpu.ops.rsvd import principal_angles_max_sin
+    itemid = data.fields.itemid
+    assert principal_angles_max_sin(single.factors[itemid],
+                                    dist.factors[itemid]) < 1e-6
+
+    recs_single = single.recommendations
+    recs_dist = dist.recommendations
+    assert recs_dist.shape == recs_single.shape
+    # psum reduction order can flip exact ties; demand near-total identity
+    assert _agreement(recs_single, recs_dist) > 0.999
+
+    hr_single = single.evaluate("relevance", simple_rates=True).hr
+    hr_dist = dist.evaluate("relevance", simple_rates=True).hr
+    assert abs(hr_single - hr_dist) < 1e-6
+
+
+def test_use_mesh_context_routes_models(mesh):
+    data = _prepared_data(seed=3)
+    model = SVDModel(data)
+    model.verbose = False
+    model.rank = 5
+    assert model.active_mesh is None
+    with use_mesh(mesh):
+        assert model.active_mesh is mesh
+        model.build()
+        recs_mesh = model.recommendations.copy()
+        # the training matrix was actually placed over the mesh
+        dense_keys = [k for k in model._training_matrix_cache
+                      if isinstance(k, tuple) and k and k[0] == "svd_dense"]
+        assert dense_keys and dense_keys[0][1] is mesh
+        cached = model._training_matrix_cache[dense_keys[0]]
+        assert len(cached.sharding.device_set) == 8
+    assert model.active_mesh is None
+
+    single = SVDModel(data)
+    single.verbose = False
+    single.rank = 5
+    single.build()
+    assert _agreement(single.recommendations, recs_mesh) > 0.995
+
+
+def test_set_default_mesh_round_trip(mesh):
+    assert get_default_mesh() is None
+    set_default_mesh(mesh)
+    try:
+        assert get_default_mesh() is mesh
+    finally:
+        set_default_mesh(None)
+    assert get_default_mesh() is None
+
+
+def test_ials_model_mesh_matches_single_device(mesh):
+    data = _prepared_data(seed=5, warm_start=False, holdout_size=2)
+    kwargs = dict(rank=5, epochs=4)
+
+    def configure(model):
+        model.verbose = False
+        model.rank = kwargs["rank"]
+        model.num_epochs = kwargs["epochs"]
+        model.seed = 0
+        return model
+
+    single = configure(ImplicitALS(data))
+    single.build()
+    dist = configure(ImplicitALS(data, mesh=mesh))
+    dist.build()
+
+    itemid = data.fields.itemid
+    np.testing.assert_allclose(np.asarray(dist.factors[itemid]),
+                               np.asarray(single.factors[itemid]),
+                               rtol=2e-3, atol=2e-5)
+    assert _agreement(single.recommendations, dist.recommendations) > 0.99
+
+
+def test_coffee_model_mesh_matches_single_device(mesh):
+    data = _prepared_data(seed=7, warm_start=False, holdout_size=2)
+
+    def configure(model):
+        model.verbose = False
+        model.compute_dtype = jnp.float64
+        model.mlrank = (4, 4, 2)
+        model.num_iters = 6
+        model.growth_tol = 0.0
+        model.seed = 0
+        return model
+
+    single = configure(CoffeeModel(data))
+    single.build()
+    dist = configure(CoffeeModel(data, mesh=mesh))
+    dist.build()
+
+    from polara_tpu.ops.rsvd import principal_angles_max_sin
+    itemid = data.fields.itemid
+    assert principal_angles_max_sin(single.factors[itemid],
+                                    dist.factors[itemid]) < 1e-6
+    assert _agreement(single.recommendations, dist.recommendations) > 0.99

@@ -1,0 +1,380 @@
+"""Zoo-wide end-to-end parity against the actual reference implementation.
+
+Extends the golden-parity suite (``test_reference_parity.py``) from
+SVD/MP to the rest of the model zoo (round-1 verdict item 2):
+
+* ScaledSVD — EigenRec row/col rescaling (``models.py:864-898``);
+* CoffeeModel — HOOI tensor factorization + tensor scoring
+  (``models.py:901-1092``), reference kernels run pure-Python under the
+  numba stub with numpy shims for the guvectorized hot loops;
+* HybridSVD — the implicit ``L_uᵀ R L_i`` operator chain
+  (``hybrid/models.py:335-394``); the reference's CHOLMOD dependency is
+  satisfied with a dense scipy Cholesky stub (identity permutation);
+* SVDModelItemColdStart — one-hot feature fold-in
+  (``coldstart/models.py:149-222``);
+* RandomSampleEvaluationSVDMixin — sampled-candidate ranked output
+  (``models.py:1095-1183``).
+
+Comparisons are at the recommendation level (external-id where internal
+codes legitimately differ) plus metric parity.
+"""
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+import scipy.linalg
+import scipy.sparse
+
+import test_reference_parity as trp
+
+ref_data_mod = trp.ref_data_mod
+ref_models_mod = trp.ref_models_mod
+
+from polara_tpu.data import RecommenderData  # noqa: E402
+from polara_tpu.datasets.synthetic import (  # noqa: E402
+    make_realistic_interactions)
+
+
+# --------------------------------------------------------------------------
+# CHOLMOD stub: dense Cholesky with identity permutation.  The reference
+# factor object contract (polara/lib/cholesky.py:1-35) uses L(), apply_P/Pt,
+# solve_Lt and cholesky_inplace; with P = I the operator chain
+# L_uᵀ P_u R P_iᵀ L_i reduces to L_uᵀ R L_i — exactly our device operator.
+# --------------------------------------------------------------------------
+
+class _DenseCholmodFactor:
+    def __init__(self, a, beta=0.0):
+        self.cholesky_inplace(a, beta=beta)
+
+    def cholesky_inplace(self, a, beta=0.0):
+        dense = a.toarray() if scipy.sparse.issparse(a) else np.asarray(a)
+        self._l = scipy.linalg.cholesky(
+            dense + beta * np.eye(dense.shape[0]), lower=True)
+
+    def L(self):
+        return self._l
+
+    def apply_P(self, v):
+        return v
+
+    def apply_Pt(self, v):
+        return v
+
+    def solve_Lt(self, y, use_LDLt_decomposition=False):
+        return scipy.linalg.solve_triangular(self._l.T, y, lower=False)
+
+
+def _install_sksparse_stub():
+    if "sksparse" not in sys.modules:
+        stub = types.ModuleType("sksparse")
+        stub.__version__ = "0.4.3"
+        cholmod = types.ModuleType("sksparse.cholmod")
+        cholmod.cholesky = lambda a, beta=0.0: _DenseCholmodFactor(a, beta)
+        stub.cholmod = cholmod
+        sys.modules["sksparse"] = stub
+        sys.modules["sksparse.cholmod"] = cholmod
+    # if the reference hybrid module was imported before the stub, flip
+    # its gate in place
+    hybrid = sys.modules.get("polara.recommender.hybrid.models")
+    if hybrid is not None and not hybrid.SPARSE_MODE:
+        hybrid.SPARSE_MODE = True
+        hybrid.cholesky_decomp_sparse = \
+            sys.modules["sksparse.cholmod"].cholesky
+
+
+_install_sksparse_stub()
+
+
+# --------------------------------------------------------------------------
+# numpy shims for the reference's guvectorized kernels (the numba stub
+# leaves them as raw scalar-kernel functions that cannot broadcast)
+# --------------------------------------------------------------------------
+
+def _np_inner_product_at(target="parallel", **kwargs):
+    def inner(u, v, ui, vi):
+        return np.einsum("...k,...k->...", u[ui], v[vi])
+    return inner
+
+
+def _np_tensor_outer_at(vtarget, **kwargs):
+    def outer(val, v, w, i, j):
+        return np.asarray(val) * v[i][:, :, None] * w[j][:, None, :]
+    return outer
+
+
+def _configured(model, verbose=False, **attrs):
+    model.verbose = verbose
+    for name, value in attrs.items():
+        setattr(model, name, value)
+    return model
+
+
+def _data_pair(events, config, seed=0, ref_cls=None, our_cls=None,
+               ref_kwargs=None, our_kwargs=None):
+    ref_cls = ref_cls or ref_data_mod.RecommenderData
+    our_cls = our_cls or RecommenderData
+    ref = ref_cls(events.copy(), "userid", "movieid", "rating", seed=seed,
+                  **(ref_kwargs or {}))
+    ref.verbose = False
+    for name, value in config.items():
+        setattr(ref, name, value)
+    ours = our_cls(events.copy(), "userid", "movieid", "rating", seed=seed,
+                   verbose=False, **(our_kwargs or {}))
+    for name, value in config.items():
+        setattr(ours, name, value)
+    return ref, ours
+
+
+def _assert_metric_parity(ref_model, our_model, rtol=1e-6):
+    ref_ranking = ref_model.evaluate("ranking")
+    our_ranking = our_model.evaluate("ranking")
+    np.testing.assert_allclose(our_ranking.map, ref_ranking.map, rtol=rtol)
+    np.testing.assert_allclose(our_ranking.arhr, ref_ranking.arhr,
+                               rtol=rtol)
+    ref_rel = ref_model.evaluate("relevance")
+    our_rel = our_model.evaluate("relevance")
+    np.testing.assert_allclose(our_rel.precision, ref_rel.precision,
+                               rtol=rtol)
+    np.testing.assert_allclose(our_rel.recall, ref_rel.recall, rtol=rtol)
+
+
+EVENTS_CONFIG = dict(warm_start=False, test_ratio=0.2, holdout_size=2,
+                     permute_tops=False)
+
+
+def test_scaled_svd_end_to_end_parity():
+    """EigenRec scaling: recommendations and metrics match the reference
+    ScaledSVD (``models.py:864-898``) across scaling exponents."""
+    from polara_tpu.models import ScaledSVD
+
+    events = make_realistic_interactions(n_users=200, n_items=120,
+                                         n_events=6000, seed=1)
+    for row_scaling, col_scaling in [(1, 0.4), (0.8, 0.2)]:
+        ref_data, our_data = _data_pair(events, EVENTS_CONFIG)
+        ref = _configured(ref_models_mod.ScaledSVD(ref_data), rank=16,
+                          row_scaling=row_scaling, col_scaling=col_scaling)
+        ours = _configured(ScaledSVD(our_data), rank=16,
+                           row_scaling=row_scaling, col_scaling=col_scaling)
+        agreement = (ref.recommendations == ours.recommendations).mean()
+        assert agreement > 0.99, (row_scaling, col_scaling, agreement)
+        _assert_metric_parity(ref, ours)
+
+
+def test_coffee_model_end_to_end_parity(monkeypatch):
+    """CoffeeModel vs the reference run pure-Python: HOOI factorizations
+    started from different random inits converge to the same dominant
+    subspaces on structured data, so tensor-scored recommendations and
+    metrics agree (``models.py:901-1092``, ``lib/tensor.py:37-96``)."""
+    from polara_tpu.models.coffee import CoffeeModel
+    from polara_tpu.ops.rsvd import principal_angles_max_sin
+
+    monkeypatch.setattr(ref_models_mod, "tensor_outer_at",
+                        _np_tensor_outer_at)
+
+    events = make_realistic_interactions(n_users=150, n_items=70,
+                                         n_events=4000, seed=2)
+    ref_data, our_data = _data_pair(events, EVENTS_CONFIG)
+
+    mlrank = (8, 6, 2)
+    ref = _configured(ref_models_mod.CoffeeModel(ref_data), mlrank=mlrank,
+                      num_iters=30, growth_tol=1e-6, seed=0)
+    ours = _configured(CoffeeModel(our_data), mlrank=mlrank, num_iters=30,
+                       growth_tol=1e-6, seed=0)
+    ours.compute_dtype = np.float64
+
+    ref.build()
+    ours.build()
+    # factor subspaces agree despite independent inits (numpy vs jax RNG)
+    for mode, entity in [(1, "movieid"), (2, "rating")]:
+        import jax.numpy as jnp
+        ref_factor = jnp.asarray(ref.factors[entity])
+        our_factor = jnp.asarray(np.asarray(ours.factors[entity]))
+        assert principal_angles_max_sin(ref_factor, our_factor) < 1e-3, mode
+
+    agreement = (ref.recommendations == ours.recommendations).mean()
+    assert agreement > 0.95, agreement
+    _assert_metric_parity(ref, ours, rtol=1e-2)
+
+    # rating prediction over the holdout agrees
+    ref_pred = ref.predict_feedback()
+    our_pred = ours.predict_feedback()
+    assert (ref_pred == our_pred).mean() > 0.95
+
+
+def _make_similarity(item_ids, seed=0):
+    rs = np.random.RandomState(seed)
+    base = rs.rand(len(item_ids), 6)
+    sim = base @ base.T
+    d = np.sqrt(np.diag(sim))
+    return sim / np.outer(d, d)
+
+
+def test_hybrid_svd_end_to_end_parity():
+    """HybridSVD: the reference's CHOLMOD operator chain (shimmed with a
+    dense Cholesky) against our device operator — identical projector
+    semantics ⇒ identical recommendations (``hybrid/models.py:335-394``)."""
+    ref_hybrid_mod = pytest.importorskip("polara.recommender.hybrid.models")
+    ref_hybrid_data_mod = pytest.importorskip(
+        "polara.recommender.hybrid.data")
+    assert ref_hybrid_mod.SPARSE_MODE, "cholmod stub not active"
+
+    from polara_tpu.data.hybrid import SimilarityDataModel
+    from polara_tpu.models.hybrid import HybridSVD
+
+    events = make_realistic_interactions(n_users=160, n_items=90,
+                                         n_events=5000, seed=3)
+    item_ids = np.sort(events["movieid"].unique())
+    sim = _make_similarity(item_ids, seed=4)
+
+    ref_data, our_data = _data_pair(
+        events, EVENTS_CONFIG,
+        ref_cls=ref_hybrid_data_mod.SimilarityDataModel,
+        our_cls=SimilarityDataModel,
+        ref_kwargs=dict(
+            relations_matrices={"movieid": scipy.sparse.csc_matrix(sim),
+                                "userid": None},
+            relations_indices={"movieid": item_ids, "userid": None}),
+        our_kwargs=dict(
+            relations_matrices={"movieid": sim, "userid": None},
+            relations_indices={"movieid": item_ids, "userid": None}))
+
+    ref = _configured(ref_hybrid_mod.HybridSVD(ref_data), rank=14)
+    ours = _configured(HybridSVD(our_data), rank=14)
+    ours.compute_dtype = np.float64
+
+    agreement = (ref.recommendations == ours.recommendations).mean()
+    assert agreement > 0.99, agreement
+    _assert_metric_parity(ref, ours)
+
+    # the rank-rounding trick keeps projectors truncation-consistent
+    ref.rank = 8
+    ours.rank = 8
+    agreement = (ref.recommendations == ours.recommendations).mean()
+    assert agreement > 0.99, agreement
+
+
+def _make_cold_features(item_ids, seed=0):
+    rs = np.random.RandomState(seed)
+    genres = ["action", "comedy", "drama", "horror", "scifi", "noir"]
+    return pd.DataFrame(
+        {"genres": [sorted(rs.choice(genres, size=rs.randint(1, 4),
+                                     replace=False).tolist())
+                    for _ in item_ids]},
+        index=pd.Index(item_ids))
+
+
+def test_cold_start_svd_fold_in_parity():
+    """SVDModelItemColdStart: the one-hot feature → factor mapping and
+    pinv-gram fold-in produce the same user rankings for the same cold
+    items (``coldstart/models.py:149-222``)."""
+    ref_cold_data_mod = pytest.importorskip(
+        "polara.recommender.coldstart.data")
+    ref_cold_models_mod = pytest.importorskip(
+        "polara.recommender.coldstart.models")
+
+    from polara_tpu.data.coldstart import ItemColdStartData
+    from polara_tpu.models.coldstart import SVDModelItemColdStart
+
+    events = make_realistic_interactions(n_users=150, n_items=80,
+                                         n_events=4500, seed=5)
+    item_ids = np.sort(events["movieid"].unique())
+    features = _make_cold_features(item_ids, seed=6)
+
+    ref_data = ref_cold_data_mod.ItemColdStartData(
+        events.copy(), "userid", "movieid", "rating", seed=0,
+        item_features=features)
+    ref_data.verbose = False
+    our_data = ItemColdStartData(events.copy(), "userid", "movieid",
+                                 "rating", seed=0, verbose=False,
+                                 item_features=features)
+
+    ref = _configured(ref_cold_models_mod.SVDModelItemColdStart(ref_data),
+                      rank=12)
+    ours = _configured(SVDModelItemColdStart(our_data), rank=12)
+    ours.compute_dtype = np.float64
+
+    ref_recs = ref.recommendations     # (n_cold, topk) of user codes
+    our_recs = ours.recommendations
+    assert ref_recs.shape == our_recs.shape
+
+    # internal cold codes legitimately differ (we recode contiguously
+    # after filtering) — align rows through external cold item ids
+    ref_map = ref_data.index.itemid.cold_start.set_index("new")["old"]
+    our_map = our_data.index.itemid.cold_start.set_index("new")["old"]
+    ref_by_old = {ref_map[i]: ref_recs[i] for i in range(len(ref_recs))}
+    our_by_old = {our_map[i]: our_recs[i] for i in range(len(our_recs))}
+    assert set(ref_by_old) == set(our_by_old)
+    agreement = np.mean([
+        (ref_by_old[k] == our_by_old[k]).mean() for k in ref_by_old])
+    assert agreement > 0.99, agreement
+
+    # metric parity on the user-prediction task
+    _assert_metric_parity(ref, ours)
+
+
+def test_sampled_svd_ranked_output_parity(monkeypatch):
+    """RandomSampleEvaluationSVDMixin: ranked output over holdout ∪
+    registered unseen samples matches (``models.py:1095-1183``)."""
+    monkeypatch.setattr(ref_models_mod, "inner_product_at",
+                        _np_inner_product_at)
+
+    from polara_tpu.data.mixins import SampledEvaluationMixin
+    from polara_tpu.models import SVDModel
+    from polara_tpu.models.sampled import SampledEvaluationSVDMixin
+
+    class RefSampledData(ref_data_mod.RandomSampleEvaluationMixin,
+                         ref_data_mod.RecommenderData):
+        pass
+
+    class RefSampledSVD(ref_models_mod.RandomSampleEvaluationSVDMixin,
+                        ref_models_mod.SVDModel):
+        pass
+
+    class OurSampledData(SampledEvaluationMixin, RecommenderData):
+        pass
+
+    class OurSampledSVD(SampledEvaluationSVDMixin, SVDModel):
+        pass
+
+    events = make_realistic_interactions(n_users=150, n_items=90,
+                                         n_events=5000, seed=7)
+    config = dict(warm_start=False, test_ratio=0, holdout_size=1,
+                  permute_tops=False)
+    ref_data, our_data = _data_pair(events, config,
+                                    ref_cls=RefSampledData,
+                                    our_cls=OurSampledData)
+    ref_data.prepare()
+    our_data.prepare()
+
+    # identical per-user unseen candidate lists in external id space
+    seen = events.groupby("userid")["movieid"].apply(set)
+    pool = np.sort(events["movieid"].unique())
+    rs = np.random.RandomState(8)
+    unseen = pd.Series(
+        index=pd.Index(seen.index, name="userid"),
+        data=[rs.choice(np.setdiff1d(pool, sorted(s)), 20,
+                        replace=False).tolist() for s in seen.values])
+    ref_data.set_unseen_interactions(unseen.copy())
+    our_data.set_unseen_interactions(unseen.copy())
+
+    ref = _configured(RefSampledSVD(ref_data), rank=12)
+    ours = _configured(OurSampledSVD(our_data), rank=12)
+    ours.compute_dtype = np.float64
+
+    ref_recs = ref.recommendations
+    our_recs = ours.recommendations
+    assert ref_recs.shape == our_recs.shape
+    # positions index each user's (holdout + sampled) candidate row —
+    # directly comparable because the candidate lists are shared
+    agreement = (ref_recs == our_recs).mean()
+    assert agreement > 0.99, agreement
+
+    # sampled-protocol HR/MRR parity (the EigenRec evaluation measure)
+    ref_hr, ref_rr = (ref.evaluate("relevance").hr,
+                      ref.evaluate("ranking").mrr)
+    our_rel = ours.evaluate("relevance", simple_rates=True)
+    our_rank = ours.evaluate("ranking", simple_rates=True)
+    np.testing.assert_allclose(our_rel.hr, ref_hr, rtol=1e-6)
+    np.testing.assert_allclose(our_rank.mrr, ref_rr, rtol=1e-6)
