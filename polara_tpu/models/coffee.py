@@ -40,6 +40,9 @@ class CoffeeModel(RecommenderModel):
         self.num_iters = defaults.get_default("num_iters")
         self.show_output = defaults.get_default("show_output")
         self.seed: Optional[int] = None
+        # optional (u_item, u_feedback) warm-start panels for HOOI
+        # (checkpoint resume / parity runs); None = seeded random init
+        self.init_factors = None
 
     @property
     def mlrank(self):
@@ -119,14 +122,16 @@ class CoffeeModel(RecommenderModel):
                     idx, val, shp, self.mlrank, mesh,
                     num_iters=self.num_iters, growth_tol=self.growth_tol,
                     seed=self.seed, dtype=self.compute_dtype,
-                    verbose=self.show_output)
+                    verbose=self.show_output,
+                    init_factors=self.init_factors)
             else:
                 result = hooi(idx, val, shp, self.mlrank,
                               num_iters=self.num_iters,
                               growth_tol=self.growth_tol, seed=self.seed,
                               dtype=self.compute_dtype,
                               verbose=self.show_output,
-                              dense_tensor=dense_tensor)
+                              dense_tensor=dense_tensor,
+                              init_factors=self.init_factors)
             jax.block_until_ready(result.core)
         userid, itemid, feedback = self.data.fields
         self.factors[userid] = result.u0

@@ -101,10 +101,16 @@ def hooi(idx: np.ndarray, val: np.ndarray, shape: Tuple[int, int, int],
          dtype=jnp.float32, verbose: bool = False,
          qr_method: Optional[str] = None,
          dense_budget_bytes: Optional[int] = None,
-         dense_tensor=None) -> HooiResult:
+         dense_tensor=None,
+         init_factors: Optional[Tuple] = None) -> HooiResult:
     """HOOI with QR-random init and core-growth convergence
     (reference ``tensor.py:57-88``): stop when the relative growth of the
-    core norm falls below ``growth_tol``."""
+    core norm falls below ``growth_tol``.
+
+    ``init_factors``: optional ``(u1, u2)`` orthonormal panels to warm-
+    start the sweeps from (checkpoint resume, rank refinement, or
+    cross-implementation parity runs) instead of the seeded random init.
+    """
     if qr_method is None:
         from polara_tpu.ops.rsvd import default_qr_method
         qr_method = default_qr_method()
@@ -113,10 +119,18 @@ def hooi(idx: np.ndarray, val: np.ndarray, shape: Tuple[int, int, int],
     if not (r0 <= n0 and r1 <= n1 and r2 <= n2):
         raise ValueError(f"core shape {core_shape} exceeds tensor {shape}")
 
-    key = jax.random.key(0 if seed is None else seed)
-    k1, k2 = jax.random.split(key)
-    u1 = jnp.linalg.qr(jax.random.uniform(k1, (n1, r1), dtype))[0]
-    u2 = jnp.linalg.qr(jax.random.uniform(k2, (n2, r2), dtype))[0]
+    if init_factors is not None:
+        u1_init, u2_init = init_factors
+        u1 = jnp.asarray(np.asarray(u1_init), dtype)
+        u2 = jnp.asarray(np.asarray(u2_init), dtype)
+        if u1.shape != (n1, r1) or u2.shape != (n2, r2):
+            raise ValueError(f"init factors {u1.shape}/{u2.shape} do not "
+                             f"match modes {(n1, r1)}/{(n2, r2)}")
+    else:
+        key = jax.random.key(0 if seed is None else seed)
+        k1, k2 = jax.random.split(key)
+        u1 = jnp.linalg.qr(jax.random.uniform(k1, (n1, r1), dtype))[0]
+        u2 = jnp.linalg.qr(jax.random.uniform(k2, (n2, r2), dtype))[0]
     u0 = jnp.zeros((n0, r0), dtype)
     core = jnp.zeros(core_shape, dtype)
 

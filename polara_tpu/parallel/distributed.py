@@ -173,7 +173,8 @@ def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
                      mesh: Mesh, num_iters: int = 25,
                      growth_tol: float = 1e-4, seed: Optional[int] = None,
                      dtype=jnp.float32, verbose: bool = False,
-                     qr_method: Optional[str] = None):
+                     qr_method: Optional[str] = None,
+                     init_factors: Optional[Tuple] = None):
     """HOOI with the tensor nonzeros sharded over the mesh's first axis.
 
     The event contractions (the O(nnz·r) work) run shard-local and psum
@@ -202,10 +203,13 @@ def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
     i2 = shard(idx[:, 2].astype(np.int32), 0)
     vals = shard(np.asarray(val, np.float64).astype(dtype), 0)
 
-    key = jax.random.key(0 if seed is None else seed)
-    k1, k2 = jax.random.split(key)
-    u1 = jnp.linalg.qr(jax.random.uniform(k1, (n1, r1), dtype))[0]
-    u2 = jnp.linalg.qr(jax.random.uniform(k2, (n2, r2), dtype))[0]
+    if init_factors is not None:
+        u1, u2 = (jnp.asarray(np.asarray(f), dtype) for f in init_factors)
+    else:
+        key = jax.random.key(0 if seed is None else seed)
+        k1, k2 = jax.random.split(key)
+        u1 = jnp.linalg.qr(jax.random.uniform(k1, (n1, r1), dtype))[0]
+        u2 = jnp.linalg.qr(jax.random.uniform(k2, (n2, r2), dtype))[0]
     u0 = jnp.zeros((n0, r0), dtype)
 
     if qr_method is None:

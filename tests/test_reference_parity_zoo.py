@@ -86,6 +86,12 @@ def _install_sksparse_stub():
 
 _install_sksparse_stub()
 
+# reference coldstart.models imports lightfm at module scope; the fake
+# records calls and implements the documented linear scoring model
+import _fake_lightfm  # noqa: E402
+
+_fake_lightfm.install()
+
 
 # --------------------------------------------------------------------------
 # numpy shims for the reference's guvectorized kernels (the numba stub
@@ -128,12 +134,16 @@ def _data_pair(events, config, seed=0, ref_cls=None, our_cls=None,
 
 
 def _assert_metric_parity(ref_model, our_model, rtol=1e-6):
-    ref_ranking = ref_model.evaluate("ranking")
+    # the reference's masked safe_divide leaves uninitialized memory for
+    # users without hits under modern numpy — pin it to its intended
+    # zeros (same shim as the realistic CV quality gate)
+    with trp._deterministic_safe_divide():
+        ref_ranking = ref_model.evaluate("ranking")
+        ref_rel = ref_model.evaluate("relevance")
     our_ranking = our_model.evaluate("ranking")
     np.testing.assert_allclose(our_ranking.map, ref_ranking.map, rtol=rtol)
     np.testing.assert_allclose(our_ranking.arhr, ref_ranking.arhr,
                                rtol=rtol)
-    ref_rel = ref_model.evaluate("relevance")
     our_rel = our_model.evaluate("relevance")
     np.testing.assert_allclose(our_rel.precision, ref_rel.precision,
                                rtol=rtol)
@@ -163,10 +173,11 @@ def test_scaled_svd_end_to_end_parity():
 
 
 def test_coffee_model_end_to_end_parity(monkeypatch):
-    """CoffeeModel vs the reference run pure-Python: HOOI factorizations
-    started from different random inits converge to the same dominant
-    subspaces on structured data, so tensor-scored recommendations and
-    metrics agree (``models.py:901-1092``, ``lib/tensor.py:37-96``)."""
+    """CoffeeModel vs the reference run pure-Python: warm-started from
+    the reference's exact random init, both HOOI implementations apply
+    the same per-sweep map, so factors, tensor-scored recommendations,
+    metrics and rating predictions all agree
+    (``models.py:901-1092``, ``lib/tensor.py:37-96``)."""
     from polara_tpu.models.coffee import CoffeeModel
     from polara_tpu.ops.rsvd import principal_angles_max_sin
 
@@ -178,29 +189,44 @@ def test_coffee_model_end_to_end_parity(monkeypatch):
     ref_data, our_data = _data_pair(events, EVENTS_CONFIG)
 
     mlrank = (8, 6, 2)
+    # fixed iteration budget on both sides (growth_tol below any
+    # attainable growth) so float noise near a stopping threshold cannot
+    # desynchronize the sweeps
     ref = _configured(ref_models_mod.CoffeeModel(ref_data), mlrank=mlrank,
-                      num_iters=30, growth_tol=1e-6, seed=0)
-    ours = _configured(CoffeeModel(our_data), mlrank=mlrank, num_iters=30,
-                       growth_tol=1e-6, seed=0)
+                      num_iters=20, growth_tol=-1.0, seed=0)
+    ours = _configured(CoffeeModel(our_data), mlrank=mlrank, num_iters=20,
+                       growth_tol=-1.0, seed=0)
     ours.compute_dtype = np.float64
 
     ref.build()
+    # warm-start ours from the reference's exact init draws
+    # (lib/tensor.py:57-63): the per-sweep maps are mathematically
+    # identical, so the trajectories coincide to f64 roundoff
+    n_items = ref_data.index.itemid.shape[0]
+    n_levels = ref_data.index.feedback.shape[0]
+    random_state = np.random.RandomState(0)
+    u1 = np.linalg.qr(random_state.rand(n_items, mlrank[1]),
+                      mode="reduced")[0]
+    u2 = np.linalg.qr(random_state.rand(n_levels, mlrank[2]),
+                      mode="reduced")[0]
+    ours.init_factors = (u1, u2)
     ours.build()
-    # factor subspaces agree despite independent inits (numpy vs jax RNG)
-    for mode, entity in [(1, "movieid"), (2, "rating")]:
-        import jax.numpy as jnp
+
+    import jax.numpy as jnp
+    for entity in ["userid", "movieid", "rating"]:
         ref_factor = jnp.asarray(ref.factors[entity])
         our_factor = jnp.asarray(np.asarray(ours.factors[entity]))
-        assert principal_angles_max_sin(ref_factor, our_factor) < 1e-3, mode
+        assert principal_angles_max_sin(ref_factor, our_factor) < 1e-6, \
+            entity
 
     agreement = (ref.recommendations == ours.recommendations).mean()
-    assert agreement > 0.95, agreement
-    _assert_metric_parity(ref, ours, rtol=1e-2)
+    assert agreement > 0.99, agreement
+    _assert_metric_parity(ref, ours)
 
     # rating prediction over the holdout agrees
     ref_pred = ref.predict_feedback()
     our_pred = ours.predict_feedback()
-    assert (ref_pred == our_pred).mean() > 0.95
+    assert (ref_pred == our_pred).mean() > 0.99
 
 
 def _make_similarity(item_ids, seed=0):
