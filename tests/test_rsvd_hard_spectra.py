@@ -1,0 +1,160 @@
+"""Randomized-SVD robustness on hard spectra vs ARPACK (round-1 verdict
+item 3 / SURVEY §7 "hard parts").
+
+Real rating spectra decay slowly (s_k ~ 1/k) or carry clustered values;
+geometric-decay toys (0.7^k) hide convergence problems.  These tests pin:
+
+* slow decay, f64 — 1e-6 max principal-angle sine vs ARPACK;
+* clustered values with the cluster INSIDE the rank cut — values and
+  subspace both match;
+* cluster STRADDLING the rank cut — individual subspaces are ill-posed,
+  but singular values and the enclosing invariant subspace still match;
+* f32 — documented precision floor (~1e-3 subspace, ~1e-5 values);
+* auto-escalation — a tiny oversampling that cannot converge alone is
+  rescued by block doubling.
+"""
+import numpy as np
+import pytest
+import scipy.sparse.linalg
+
+import jax.numpy as jnp
+
+from polara_tpu.ops.rsvd import principal_angles_max_sin, randomized_svd
+
+
+def make_matrix(spectrum, m=400, n=250, seed=0):
+    rs = np.random.RandomState(seed)
+    k = len(spectrum)
+    u, _ = np.linalg.qr(rs.randn(m, k))
+    v, _ = np.linalg.qr(rs.randn(n, k))
+    return (u * np.asarray(spectrum)) @ v.T, u, v
+
+
+def arpack_topk(a, k):
+    u, s, vt = scipy.sparse.linalg.svds(np.asarray(a, np.float64), k=k)
+    order = np.argsort(s)[::-1]
+    return u[:, order], s[order], vt[order].T
+
+
+SLOW = 1.0 / np.arange(1, 81)                     # s_k ~ 1/k
+CLUSTERED_INSIDE = np.r_[np.full(3, 1.0), np.full(4, 0.97),
+                         np.full(3, 0.94), 0.5 * SLOW[:30]]
+CLUSTER_STRADDLE = np.r_[SLOW[:7], np.full(6, 0.10), 0.05 * SLOW[:20]]
+
+
+def test_slow_decay_f64_matches_arpack():
+    a, _, _ = make_matrix(SLOW)
+    k = 10
+    ours = randomized_svd(jnp.asarray(a), k, tol=1e-13, max_iter=300,
+                          seed=0, dtype=jnp.float64)
+    u_ref, s_ref, v_ref = arpack_topk(a, k)
+    np.testing.assert_allclose(np.asarray(ours.s), s_ref, rtol=1e-9)
+    assert principal_angles_max_sin(ours.v, jnp.asarray(v_ref)) < 1e-6
+    assert principal_angles_max_sin(ours.u, jnp.asarray(u_ref)) < 1e-6
+
+
+def test_clustered_inside_cut_f64():
+    # the rank cut (k=10) lands on the gap AFTER the three clusters
+    a, _, _ = make_matrix(CLUSTERED_INSIDE)
+    k = 10
+    ours = randomized_svd(jnp.asarray(a), k, tol=1e-13, max_iter=300,
+                          seed=0, dtype=jnp.float64)
+    u_ref, s_ref, v_ref = arpack_topk(a, k)
+    np.testing.assert_allclose(np.asarray(ours.s), s_ref, rtol=1e-9)
+    # within clusters individual vectors rotate freely; the k-dimensional
+    # invariant subspace is well-defined and must match
+    assert principal_angles_max_sin(ours.v, jnp.asarray(v_ref)) < 1e-6
+
+
+def test_cluster_straddling_cut_values_and_enclosing_subspace():
+    # k=10 cuts INSIDE the 6-fold cluster at 0.10: the k-subspace is
+    # mathematically ill-posed, but the values must still be right and
+    # the enclosing (k=13) invariant subspace must capture ours
+    a, _, _ = make_matrix(CLUSTER_STRADDLE)
+    k = 10
+    ours = randomized_svd(jnp.asarray(a), k, tol=1e-13, max_iter=300,
+                          seed=0, dtype=jnp.float64)
+    u_ref, s_ref, v_ref = arpack_topk(a, 13)
+    np.testing.assert_allclose(np.asarray(ours.s), s_ref[:k], rtol=1e-9)
+    # every direction we report lies inside ARPACK's enclosing subspace
+    proj = jnp.asarray(v_ref) @ (jnp.asarray(v_ref).T @ ours.v)
+    residual = float(jnp.linalg.norm(ours.v - proj))
+    assert residual < 1e-6
+    # and the unambiguous head (above the cluster) matches exactly
+    assert principal_angles_max_sin(ours.v[:, :7],
+                                    jnp.asarray(v_ref[:, :7])) < 1e-6
+
+
+def test_slow_decay_f32_documented_floor():
+    a, _, _ = make_matrix(SLOW)
+    k = 10
+    ours = randomized_svd(jnp.asarray(a, jnp.float32), k, tol=1e-6,
+                          max_iter=300, seed=0, dtype=jnp.float32)
+    u_ref, s_ref, v_ref = arpack_topk(a, k)
+    # f32 floors: values ~1e-5 relative, subspace ~1e-3 sine — the bound
+    # documented in randomized_svd's docstring.  Tighter requirements
+    # need f64 islands (compute_dtype = float64).
+    np.testing.assert_allclose(np.asarray(ours.s, np.float64), s_ref,
+                               rtol=5e-5)
+    assert principal_angles_max_sin(
+        jnp.asarray(np.asarray(ours.v), jnp.float64),
+        jnp.asarray(v_ref)) < 5e-3
+
+
+def test_auto_escalation_rescues_small_oversampling():
+    # oversample=1 on slow decay: the convergence ratio (s_12/s_10)^iters
+    # cannot reach 1e-5 in 8 iterations; escalation doubles the block
+    # (quadratically better ratio) and converges within the same budget
+    a, _, _ = make_matrix(SLOW)
+    k = 10
+    ours = randomized_svd(jnp.asarray(a), k, oversample=1, tol=1e-12,
+                          max_iter=8, seed=0, dtype=jnp.float64,
+                          max_escalations=3)
+    _, s_ref, v_ref = arpack_topk(a, k)
+    np.testing.assert_allclose(np.asarray(ours.s), s_ref, rtol=1e-8)
+    assert principal_angles_max_sin(ours.v, jnp.asarray(v_ref)) < 1e-5
+
+    # without escalation the same budget must NOT reach that accuracy —
+    # guards against the test silently weakening
+    frozen = randomized_svd(jnp.asarray(a), k, oversample=1, tol=1e-12,
+                            max_iter=8, seed=0, dtype=jnp.float64,
+                            max_escalations=0)
+    assert principal_angles_max_sin(frozen.v, jnp.asarray(v_ref)) > 1e-5
+
+
+def test_svd_model_tol_mode_on_slow_spectrum():
+    """SVDModel's default tol-driven build reaches ARPACK-level factors
+    on a slow-decay rating-like matrix (the model-level guarantee)."""
+    import pandas as pd
+    from polara_tpu.data import RecommenderData
+    from polara_tpu.models import SVDModel
+
+    rs = np.random.RandomState(3)
+    a, _, _ = make_matrix(SLOW, m=150, n=90, seed=3)
+    # quantize the low-rank matrix onto a sparse rating log
+    mask = rs.rand(*a.shape) < 0.35
+    rows, cols = np.nonzero(mask)
+    vals = np.digitize(a[rows, cols],
+                       np.quantile(a[rows, cols],
+                                   [0.2, 0.4, 0.6, 0.8])) + 1
+    frame = pd.DataFrame({"userid": rows, "movieid": cols, "rating": vals})
+    data = RecommenderData(frame, "userid", "movieid", "rating", seed=0,
+                           verbose=False)
+    data.warm_start = False
+    data.holdout_size = 1
+    data.prepare()
+
+    model = SVDModel(data)
+    model.verbose = False
+    model.compute_dtype = jnp.float64
+    model.rank = 8
+    model.build()
+
+    idx, val, shp = data.to_coo()
+    dense = np.zeros(shp)
+    dense[idx[:, 0], idx[:, 1]] = val
+    _, s_ref, v_ref = arpack_topk(dense, 8)
+    np.testing.assert_allclose(np.asarray(model.factors["singular_values"]),
+                               s_ref, rtol=1e-8)
+    assert principal_angles_max_sin(model.factors["movieid"],
+                                    jnp.asarray(v_ref)) < 1e-6
