@@ -49,22 +49,8 @@ def load_or_make_workload(seed=0):
     Gumbel-top-k generation runs on the accelerator
     (``make_realistic_coo_device``) — the (users × items) keying/sorting
     is hopeless on the slow host CPU but takes seconds on device."""
-    if os.path.exists(CACHE):
-        log(f"workload cache hit: {CACHE}")
-        with np.load(CACHE) as blob:
-            return blob["rows"], blob["cols"], blob["vals"]
-    from polara_tpu.datasets.synthetic import make_realistic_coo_device
-    log("generating calibrated ML-10M workload on device (one-time)...")
-    t0 = time.perf_counter()
-    rows, cols, vals = make_realistic_coo_device(N_USERS, N_ITEMS, NNZ,
-                                                 seed=seed)
-    log(f"generated {len(rows)} events in {time.perf_counter() - t0:.0f}s")
-    try:
-        np.savez(CACHE, rows=rows, cols=cols,
-                 vals=vals.astype(np.float32))
-    except OSError as err:  # pragma: no cover - disk-full etc.
-        log(f"workload cache write failed: {err!r}")
-    return rows, cols, np.asarray(vals, np.float32)
+    from polara_tpu.datasets.synthetic import load_or_make_ml10m
+    return load_or_make_ml10m(CACHE, seed=seed, log=log)
 
 
 def main():

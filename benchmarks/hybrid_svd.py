@@ -2,29 +2,37 @@
 (52.8s-2m42s, similarity Cholesky alone 1m47s — BASELINE.md).
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/hybrid_svd.py
+
+Prints ONE JSON line on stdout (progress on stderr).
 """
+import json
+import sys
 import time
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
+from polara_tpu.datasets.synthetic import load_or_make_ml10m
 from polara_tpu.ops.cholesky import CholeskyFactor, hybrid_operator
 from polara_tpu.ops.rsvd import randomized_svd
 from polara_tpu.ops.sparse import CooMatrix
 
-N_USERS, N_ITEMS, NNZ, RANK = 69_878, 10_677, 10_000_054, 30
+N_USERS, N_ITEMS, RANK = 69_878, 10_677, 30
+REF_BUILD_SECONDS = 52.8         # best recorded reference build
+REF_CHOLESKY_SECONDS = 107.0     # "Cholesky 1m47s"
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
 
 
 def main():
-    rs = np.random.RandomState(0)
-    rows = rs.randint(0, N_USERS, NNZ).astype(np.int32)
-    cols = rs.randint(0, N_ITEMS, NNZ).astype(np.int32)
-    vals = (rs.randint(1, 11, NNZ) / 2.0).astype(np.float32)
+    rows, cols, vals = load_or_make_ml10m(log=log)
     coo = CooMatrix.from_numpy(rows, cols, vals, (N_USERS, N_ITEMS),
                                dtype=jnp.float32)
 
     # synthetic PSD item similarity with unit diagonal
+    rs = np.random.RandomState(0)
     base = rs.randn(N_ITEMS, 32).astype(np.float32)
     sim = base @ base.T
     diag = np.sqrt(np.diag(sim))
@@ -45,20 +53,32 @@ def main():
 
     t0 = time.perf_counter()
     build(0)
-    print(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s")
+    log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s")
     timings = []
     for i in range(3):
         t0 = time.perf_counter()
         build(i + 1)  # vary the random panel between iterations
         timings.append(time.perf_counter() - t0)
-    print(f"HybridSVD rank-{RANK} build at ML-10M scale: "
-          f"{min(timings):.2f}s (ref CHOLMOD pipeline 52.8s-2m42s)")
+    build_s = min(timings)
+    log(f"HybridSVD rank-{RANK} build at ML-10M scale: {build_s:.2f}s "
+        "(ref CHOLMOD pipeline 52.8s-2m42s)")
 
     t0 = time.perf_counter()
     # sync on a scalar: fetching L itself would time the (huge) host copy
     np.asarray(CholeskyFactor.factorize(sim_dev, beta=1.0).L[0, 0])
-    print(f"dense {N_ITEMS}x{N_ITEMS} Cholesky: "
-          f"{time.perf_counter() - t0:.2f}s (ref 1m47s)")
+    cholesky_s = time.perf_counter() - t0
+    log(f"dense {N_ITEMS}x{N_ITEMS} Cholesky: {cholesky_s:.2f}s "
+        "(ref 1m47s)")
+
+    print(json.dumps({
+        "metric": "ml10m_hybridsvd30_build",
+        "value": round(build_s, 3),
+        "unit": "s",
+        "vs_baseline": round(REF_BUILD_SECONDS / build_s, 3),
+        "cholesky_s": round(cholesky_s, 3),
+        "cholesky_vs_baseline": round(REF_CHOLESKY_SECONDS / cholesky_s,
+                                      3),
+    }))
 
 
 if __name__ == "__main__":

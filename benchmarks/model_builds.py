@@ -6,15 +6,27 @@ axon plugin path if your env uses the tunnel):
 
 Timings are steady-state rebuilds (training matrix HBM-resident,
 executables compiled) — the regime of rank sweeps and cross-validation.
+Prints ONE JSON line on stdout (progress on stderr).
 """
+import json
+import sys
 import time
 
 import numpy as np
+import pandas as pd
 
 from polara_tpu.data import RecommenderData
-from polara_tpu.datasets import make_synthetic_interactions
+from polara_tpu.datasets.synthetic import load_or_make_ml1m
 from polara_tpu.models import (CoffeeModel, CooccurrenceModel, ImplicitALS,
                                ScaledSVD, SVDModel)
+
+# reference CPU numbers (BASELINE.md): midpoints of the recorded ranges
+REF_SECONDS = {"puresvd10": 0.12, "scaledsvd10": 0.534, "coffee": 2.3,
+               "ials10": 1.7}
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
 
 
 def _materialize(model):
@@ -50,8 +62,10 @@ def timed_build(model, n=3, **attrs):
 
 
 def main():
-    events = make_synthetic_interactions(6040, 3706, 1_000_000, seed=0)
-    print(f"events: {len(events)} (ML-1M geometry)")
+    rows, cols, vals = load_or_make_ml1m(log=log)
+    events = pd.DataFrame({"userid": rows, "movieid": cols,
+                           "rating": vals.astype(np.int64)})
+    log(f"events: {len(events)} (calibrated ML-1M geometry)")
     data = RecommenderData(events, "userid", "movieid", "rating",
                            seed=0, verbose=False)
     data.warm_start = False
@@ -59,16 +73,33 @@ def main():
     data.holdout_size = 1
     data.prepare()
 
-    print(f"PureSVD rank-10 build: {timed_build(SVDModel(data), rank=10):.3f}s"
-          " (ref CPU 0.095-0.15s)")
-    print(f"ScaledSVD rank-10 build: "
-          f"{timed_build(ScaledSVD(data), rank=10):.3f}s (ref 0.534s)")
-    print(f"CoFFee (13,10,2) build: "
-          f"{timed_build(CoffeeModel(data), n=2):.3f}s (ref 1.18-3.54s)")
-    print(f"iALS rank-10 15ep build: "
-          f"{timed_build(ImplicitALS(data), n=2, rank=10):.3f}s "
-          "(ref 1.6-1.8s)")
-    print(f"i2i build: {timed_build(CooccurrenceModel(data)):.3f}s")
+    svd = timed_build(SVDModel(data), rank=10)
+    log(f"PureSVD rank-10 build: {svd:.3f}s (ref CPU 0.095-0.15s)")
+    scaled = timed_build(ScaledSVD(data), rank=10)
+    log(f"ScaledSVD rank-10 build: {scaled:.3f}s (ref 0.534s)")
+    coffee = timed_build(CoffeeModel(data), n=2)
+    log(f"CoFFee (13,10,2) build: {coffee:.3f}s (ref 1.18-3.54s)")
+    ials = timed_build(ImplicitALS(data), n=2, rank=10)
+    log(f"iALS rank-10 15ep build: {ials:.3f}s (ref 1.6-1.8s)")
+    i2i = timed_build(CooccurrenceModel(data))
+    log(f"i2i build: {i2i:.3f}s")
+
+    print(json.dumps({
+        "metric": "ml1m_puresvd10_build",
+        "value": round(svd, 4),
+        "unit": "s",
+        "vs_baseline": round(REF_SECONDS["puresvd10"] / svd, 3),
+        "others": {
+            "scaledsvd10_s": round(scaled, 4),
+            "scaledsvd10_vs_baseline": round(
+                REF_SECONDS["scaledsvd10"] / scaled, 3),
+            "coffee_s": round(coffee, 4),
+            "coffee_vs_baseline": round(REF_SECONDS["coffee"] / coffee, 3),
+            "ials10_s": round(ials, 4),
+            "ials10_vs_baseline": round(REF_SECONDS["ials10"] / ials, 3),
+            "i2i_s": round(i2i, 4),
+        },
+    }))
 
 
 if __name__ == "__main__":

@@ -5,27 +5,37 @@ Reference comparison (BASELINE.md): the ML-10M rank sweep 10..150 takes
 ~63 s total (~4.2 s per rank-eval) on CPU.
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/rank_sweep.py
+
+Prints ONE JSON line on stdout (progress on stderr).
 """
+import json
+import sys
 import time
 
 import numpy as np
+import pandas as pd
 
 from polara_tpu.runtime.timing import enable_compilation_cache
 
 enable_compilation_cache()
 
 from polara_tpu.data import RecommenderData
-from polara_tpu.datasets import make_synthetic_interactions
+from polara_tpu.datasets.synthetic import load_or_make_ml10m
 from polara_tpu.evaluation.pipelines import find_optimal_svd_rank
 from polara_tpu.models import SVDModel
 
+REF_SWEEP_SECONDS = 63.0
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
 
 def main():
-    t0 = time.perf_counter()
-    events = make_synthetic_interactions(69_878, 10_677, 10_000_000,
-                                         seed=0)
-    print(f"synthetic ML-10M events: {len(events)} "
-          f"({time.perf_counter() - t0:.1f}s to generate)")
+    rows, cols, vals = load_or_make_ml10m(log=log)
+    events = pd.DataFrame({"userid": rows, "movieid": cols,
+                           "rating": vals.astype(np.int64)})
+    log(f"calibrated ML-10M events: {len(events)}")
 
     t0 = time.perf_counter()
     data = RecommenderData(events, "userid", "movieid", "rating",
@@ -34,8 +44,8 @@ def main():
     data.test_ratio = 0.05
     data.holdout_size = 1
     data.prepare()
-    print(f"prepare(): {time.perf_counter() - t0:.2f}s "
-          f"({len(data.test.holdout)} holdout events)")
+    log(f"prepare(): {time.perf_counter() - t0:.2f}s "
+        f"({len(data.test.holdout)} holdout events)")
 
     model = SVDModel(data)
     model.verbose = False
@@ -45,7 +55,7 @@ def main():
     best_rank, scores = find_optimal_svd_rank(
         model, ranks, target_metric="arhr", return_scores=True)
     cold = time.perf_counter() - t0
-    print(f"cold sweep (incl. XLA compiles): {cold:.1f}s")
+    log(f"cold sweep (incl. XLA compiles): {cold:.1f}s")
 
     # warm pass: executables cached (and persisted across processes via
     # the compilation cache) — the steady-state experimentation cost
@@ -54,10 +64,20 @@ def main():
     best_rank, scores = find_optimal_svd_rank(
         model, ranks, target_metric="arhr", return_scores=True)
     warm = time.perf_counter() - t0
-    print(f"warm rank sweep over {len(ranks)} ranks (incl. rebuild): "
-          f"{warm:.1f}s total, {warm / len(ranks):.2f}s per rank-eval "
-          "(ref: ~63s total, ~4.2s per rank-eval)")
-    print(f"best rank by ARHR: {best_rank}")
+    log(f"warm rank sweep over {len(ranks)} ranks (incl. rebuild): "
+        f"{warm:.1f}s total, {warm / len(ranks):.2f}s per rank-eval "
+        "(ref: ~63s total, ~4.2s per rank-eval); "
+        f"best rank by ARHR: {best_rank}")
+
+    print(json.dumps({
+        "metric": "ml10m_rank_sweep_10_150_warm",
+        "value": round(warm, 3),
+        "unit": "s",
+        "vs_baseline": round(REF_SWEEP_SECONDS / warm, 3),
+        "per_rank_eval_s": round(warm / len(ranks), 4),
+        "cold_s": round(cold, 3),
+        "best_rank": int(best_rank),
+    }))
 
 
 if __name__ == "__main__":

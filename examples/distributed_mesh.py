@@ -18,11 +18,13 @@ import numpy as np          # noqa: E402
 import jax                  # noqa: E402
 import jax.numpy as jnp     # noqa: E402
 
+from polara_tpu.data import RecommenderData                  # noqa: E402
 from polara_tpu.datasets import make_synthetic_interactions  # noqa: E402
+from polara_tpu.models import SVDModel                       # noqa: E402
 from polara_tpu.ops.sparse import dense_from_coo             # noqa: E402
 from polara_tpu.parallel.distributed import (                # noqa: E402
     distributed_hooi, distributed_ials, distributed_randomized_svd)
-from polara_tpu.runtime.mesh import make_mesh                # noqa: E402
+from polara_tpu.runtime.mesh import make_mesh, use_mesh      # noqa: E402
 
 
 def main():
@@ -30,6 +32,22 @@ def main():
     mesh = make_mesh(n_devices=8, axes=("users",), shape=(8,))
 
     events = make_synthetic_interactions(512, 200, 12_000, seed=0)
+
+    # --- the easy path: hand any model a mesh (or scope one with
+    # use_mesh) and the whole build -> score -> evaluate pipeline runs
+    # SPMD over it, numerically identical to single-device
+    data = RecommenderData(events.copy(), "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.holdout_size = 2
+    data.prepare()
+    with use_mesh(mesh):
+        svd = SVDModel(data)
+        svd.verbose = False
+        svd.rank = 16
+        print(f"mesh-built SVD relevance: {svd.evaluate('relevance')}")
+
+    # --- the explicit ops, for custom pipelines:
     idx = events[["userid", "movieid"]].values
     val = events["rating"].values.astype(float)
     dense = dense_from_coo(idx, val, (512, 200))

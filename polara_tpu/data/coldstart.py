@@ -232,8 +232,9 @@ class ItemColdStartData(RecommenderData):
                                 .isin(holdout[self.cold_itemid])]
         recode = pd.Series(np.arange(len(cold_index)),
                            index=cold_index["new"].values)
-        holdout.loc[:, self.cold_itemid] = \
-            holdout[self.cold_itemid].map(recode)
+        # whole-column assignment: .loc refuses int64 codes when the
+        # source id column is narrower (pandas>=3)
+        holdout[self.cold_itemid] = holdout[self.cold_itemid].map(recode)
         cold_index = cold_index.assign(new=np.arange(len(cold_index)))
         self.index = self.index._replace(
             itemid=self.index.itemid._replace(

@@ -47,7 +47,10 @@ def build_entity_index(data: pd.DataFrame, col: str, sort: bool = True,
     codes, uniques = pd.factorize(data[col], sort=sort)
     mapping = pd.DataFrame({"old": uniques, "new": np.arange(len(uniques))})
     if inplace:
-        data.loc[:, col] = codes
+        # whole-column replacement, not .loc setitem: factorize yields
+        # int64 codes and pandas>=3 refuses to silently downcast them
+        # into a narrower (e.g. int32) id column
+        data[col] = codes
         return mapping
     return codes, mapping
 
@@ -511,8 +514,10 @@ class RecommenderData:
             userid=self.index.userid._replace(test=test_user_map))
         if self._test.holdout is not None:
             mapper = test_user_map.set_index("old").new
-            self._test.holdout.loc[:, userid] = \
-                self._test.holdout.loc[:, userid].map(mapper)
+            # whole-column assignment: .loc setitem refuses the int64
+            # mapped codes when the source id column is narrower
+            self._test.holdout[userid] = \
+                self._test.holdout[userid].map(mapper)
 
     def _map_entity(self, entity: str,
                     dataset: Optional[pd.DataFrame]) -> None:
@@ -524,7 +529,8 @@ class RecommenderData:
             return
         seen_index = getattr(index_data, "training", index_data)
         mapper = seen_index.set_index("old").new
-        dataset.loc[:, entity] = dataset.loc[:, entity].map(mapper)
+        # whole-column assignment (see _align_test_users)
+        dataset[entity] = dataset[entity].map(mapper)
 
     def _sort_test_data(self) -> None:
         userid = self.fields.userid

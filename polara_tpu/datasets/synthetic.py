@@ -271,6 +271,46 @@ def make_realistic_coo_device(n_users: int, n_items: int, n_events: int,
     return rows, cols, vals
 
 
+# Benchmark-standard geometries (MovieLens datasets the reference's
+# published numbers use).
+ML10M_GEOMETRY = dict(n_users=69_878, n_items=10_677, n_events=10_000_054)
+ML1M_GEOMETRY = dict(n_users=6_040, n_items=3_706, n_events=1_000_209)
+
+
+def load_or_make_benchmark_coo(geometry: dict, cache_path: str,
+                               seed: int = 0, log=None):
+    """Calibrated benchmark interactions at a standard geometry, cached
+    on disk (the device generation is a one-time cost per machine)."""
+    import os
+
+    def say(msg):
+        if log is not None:
+            log(msg)
+
+    if os.path.exists(cache_path):
+        say(f"workload cache hit: {cache_path}")
+        with np.load(cache_path) as blob:
+            return blob["rows"], blob["cols"], blob["vals"]
+    say(f"generating calibrated workload on device (one-time): {geometry}")
+    rows, cols, vals = make_realistic_coo_device(seed=seed, **geometry)
+    try:
+        np.savez(cache_path, rows=rows, cols=cols,
+                 vals=vals.astype(np.float32))
+    except OSError as err:  # pragma: no cover - disk-full etc.
+        say(f"workload cache write failed: {err!r}")
+    return rows, cols, np.asarray(vals, np.float32)
+
+
+def load_or_make_ml10m(cache_path: str = "/tmp/polara_tpu_bench_ml10m_v1.npz",
+                       seed: int = 0, log=None):
+    return load_or_make_benchmark_coo(ML10M_GEOMETRY, cache_path, seed, log)
+
+
+def load_or_make_ml1m(cache_path: str = "/tmp/polara_tpu_bench_ml1m_v1.npz",
+                      seed: int = 0, log=None):
+    return load_or_make_benchmark_coo(ML1M_GEOMETRY, cache_path, seed, log)
+
+
 def make_realistic_interactions(n_users: int = 2000, n_items: int = 1200,
                                 n_events: int = 100_000,
                                 seed: Optional[int] = 0,

@@ -153,15 +153,26 @@ class ImplicitBPR(_RankedFactorModel):
     def build(self):
         coo = self.get_training_matrix()
         self.epoch_stats = []
+        mesh = self.active_mesh
         with track_time(self.training_time, verbose=self.verbose,
                         model=self.method):
-            result = bpr_train(
-                np.asarray(coo.rows), np.asarray(coo.cols), coo.shape,
-                self.rank, learning_rate=self.learning_rate,
-                reg=self.regularization, num_epochs=self.num_epochs,
-                batch_size=self.batch_size, seed=self.seed,
-                dtype=self.compute_dtype, verbose=self.show_progress,
-                epoch_stats=self.epoch_stats)
+            if mesh is not None:
+                from polara_tpu.parallel.distributed import distributed_bpr
+                result = distributed_bpr(
+                    np.asarray(coo.rows), np.asarray(coo.cols), coo.shape,
+                    self.rank, mesh, learning_rate=self.learning_rate,
+                    reg=self.regularization, num_epochs=self.num_epochs,
+                    batch_size=self.batch_size, seed=self.seed,
+                    dtype=self.compute_dtype,
+                    epoch_stats=self.epoch_stats)
+            else:
+                result = bpr_train(
+                    np.asarray(coo.rows), np.asarray(coo.cols), coo.shape,
+                    self.rank, learning_rate=self.learning_rate,
+                    reg=self.regularization, num_epochs=self.num_epochs,
+                    batch_size=self.batch_size, seed=self.seed,
+                    dtype=self.compute_dtype, verbose=self.show_progress,
+                    epoch_stats=self.epoch_stats)
             jax.block_until_ready(result)
         self.factors[self.data.fields.userid] = result.user
         self.factors[self.data.fields.itemid] = result.item

@@ -1,6 +1,7 @@
 from polara_tpu.parallel.distributed import (cholesky_qr2,
                                              distributed_randomized_svd,
                                              distributed_ials,
+                                             distributed_bpr,
                                              distributed_hooi,
                                              score_mask_topk_step,
                                              sharded_score_topk_2d,
@@ -10,7 +11,7 @@ from polara_tpu.runtime.mesh import (make_mesh, user_sharding, shard_rows,
                                      use_mesh)
 
 __all__ = ["cholesky_qr2", "distributed_randomized_svd",
-           "distributed_ials", "distributed_hooi",
+           "distributed_ials", "distributed_bpr", "distributed_hooi",
            "score_mask_topk_step", "sharded_score_topk_2d",
            "full_train_step",
            "make_mesh", "user_sharding", "shard_rows",

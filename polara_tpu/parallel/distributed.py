@@ -169,6 +169,108 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
                            item=item_factors[:n_items])
 
 
+def distributed_bpr(rows: np.ndarray, cols: np.ndarray, shape, rank: int,
+                    mesh: Mesh, learning_rate: float = 0.01,
+                    reg: float = 0.01, num_epochs: int = 100,
+                    batch_size: int = 1024, seed: Optional[int] = 0,
+                    dtype=jnp.float32,
+                    epoch_stats: Optional[list] = None):
+    """BPR with each step's triple minibatch sharded over the mesh.
+
+    Every device draws the SAME per-step batch indices (the single-chip
+    sampler's draws, so trajectories match :func:`ops.implicit.bpr_train`
+    for the same seed), computes sigmoid gradients for its slice, and
+    ``all_gather``s the per-triple gradient scalars — ``batch`` floats
+    across ICI per step — before applying the identical replicated
+    factor update.  The O(batch·rank) gradient math is what shards;
+    factor tables replicate (they are panel-sized).
+    """
+    import math
+
+    from jax import shard_map
+
+    from polara_tpu.ops.implicit import ImplicitFactors
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    if batch_size % n_dev:
+        raise ValueError(f"batch_size {batch_size} must divide over "
+                         f"{n_dev} devices")
+    b_loc = batch_size // n_dev
+    n_users, n_items = shape
+    nnz = len(rows)
+
+    rows_d = jnp.asarray(rows, jnp.int32)
+    cols_d = jnp.asarray(cols, jnp.int32)
+    seen = jnp.zeros(shape, bool).at[rows_d, cols_d].set(True)
+    repl = NamedSharding(mesh, P())
+    seen = jax.device_put(seen, repl)
+    rows_d = jax.device_put(rows_d, repl)
+    cols_d = jax.device_put(cols_d, repl)
+
+    key = jax.random.key(0 if seed is None else seed)
+    key, ku, ki = jax.random.split(key, 3)
+    scale = 1.0 / math.sqrt(rank)
+    user_factors = jax.device_put(
+        jax.random.normal(ku, (n_users, rank), dtype) * scale, repl)
+    item_factors = jax.device_put(
+        jax.random.normal(ki, (n_items, rank), dtype) * scale, repl)
+
+    lr = learning_rate
+    n_steps = max(1, -(-nnz // batch_size))
+
+    def epoch_local(x, y, seen_l, rows_l, cols_l, key_epoch):
+        shard = jax.lax.axis_index(axis)
+        lo = shard * b_loc
+
+        def step(carry, key_step):
+            x, y = carry
+            kp, kn = jax.random.split(key_step)
+            # full-batch draws on every device (same as single-chip),
+            # local gradient math on this device's slice
+            idx = jax.random.randint(kp, (batch_size,), 0, nnz)
+            j_all = jax.random.randint(kn, (batch_size,), 0, n_items)
+            idx_l = jax.lax.dynamic_slice_in_dim(idx, lo, b_loc)
+            j_l = jax.lax.dynamic_slice_in_dim(j_all, lo, b_loc)
+            u_l, i_l = rows_l[idx_l], cols_l[idx_l]
+            ok_l = ~seen_l[u_l, j_l]
+            margin_l = jnp.sum(x[u_l] * (y[i_l] - y[j_l]), axis=1)
+            g_l = jnp.where(ok_l, jax.nn.sigmoid(-margin_l), 0.0)
+            okf_l = ok_l.astype(x.dtype)
+
+            # the only collective: batch-wide gradient scalars
+            g = jax.lax.all_gather(g_l, axis, axis=0, tiled=True)
+            okf = jax.lax.all_gather(okf_l, axis, axis=0, tiled=True)
+            u, i = rows_l[idx], cols_l[idx]
+            j = j_all
+            gc, okc = g[:, None], okf[:, None]
+            xu, yi, yj = x[u], y[i], y[j]
+            x = x.at[u].add(lr * (gc * (yi - yj) - reg * okc * xu))
+            y = y.at[i].add(lr * (gc * xu - reg * okc * yi))
+            y = y.at[j].add(lr * (-gc * xu - reg * okc * yj))
+            auc_num_l = jnp.sum(jnp.where(ok_l, margin_l > 0, False))
+            auc = jax.lax.psum(auc_num_l, axis) \
+                / jnp.maximum(jax.lax.psum(jnp.sum(ok_l), axis), 1)
+            return (x, y), auc
+
+        keys = jax.random.split(key_epoch, n_steps)
+        (x, y), aucs = jax.lax.scan(step, (x, y), keys)
+        return x, y, jnp.mean(aucs)
+
+    epoch = jax.jit(shard_map(
+        epoch_local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False))
+
+    for _ in range(num_epochs):
+        key, key_epoch = jax.random.split(key)
+        user_factors, item_factors, auc = epoch(
+            user_factors, item_factors, seen, rows_d, cols_d, key_epoch)
+        if epoch_stats is not None:
+            epoch_stats.append(float(auc))
+    return ImplicitFactors(user=user_factors, item=item_factors)
+
+
 def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
                      mesh: Mesh, num_iters: int = 25,
                      growth_tol: float = 1e-4, seed: Optional[int] = None,

@@ -323,3 +323,25 @@ def test_tensor_mode_threshold_filters_by_feedback():
     kept = events[events["rating"] >= 4]
     assert len(idx) == len(kept)
     assert shp[2] == kept["rating"].nunique()
+
+
+def test_narrow_int32_id_columns_prepare(synthetic_interactions):
+    """Regression: int32 id/rating columns must survive reindexing — the
+    factorize codes are int64 and pandas>=3 refuses silent downcasts in
+    .loc setitem, so the data model uses whole-column assignment."""
+    narrow = synthetic_interactions.astype(
+        {"userid": np.int32, "movieid": np.int32, "rating": np.int32})
+    data = make_data(narrow, seed=0)
+    data.warm_start = False
+    data.holdout_size = 2
+    data.prepare()
+    n_items = data.index.itemid.shape[0]
+    assert data.training["movieid"].max() + 1 == n_items
+    assert data.test.holdout["movieid"].between(0, n_items - 1).all()
+
+    wide = make_data(synthetic_interactions.copy(), seed=0)
+    wide.warm_start = False
+    wide.holdout_size = 2
+    wide.prepare()
+    pd.testing.assert_frame_equal(
+        data.training.astype(np.int64), wide.training.astype(np.int64))

@@ -155,3 +155,27 @@ def test_sharded_score_topk_2d_matches_single_device():
         jnp.ones(len(seen_rows), bool), topk, filter_seen=True,
         n_valid_cols=n_items))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_distributed_bpr_matches_single_device():
+    from polara_tpu.ops.implicit import bpr_train
+    from polara_tpu.parallel.distributed import distributed_bpr
+    from polara_tpu.runtime.mesh import make_mesh
+
+    rs = np.random.RandomState(1)
+    n_users, n_items = 48, 32
+    mask = rs.rand(n_users, n_items) < 0.25
+    rows, cols = np.nonzero(mask)
+
+    mesh = make_mesh(n_devices=8, axes=("users",), shape=(8,))
+    kwargs = dict(rank=4, learning_rate=0.05, reg=0.01, num_epochs=3,
+                  batch_size=64, seed=0, dtype=jnp.float64)
+    dist = distributed_bpr(rows, cols, (n_users, n_items), mesh=mesh,
+                           **kwargs)
+    single = bpr_train(rows, cols, (n_users, n_items), **kwargs)
+    # identical per-step triples and gradients by construction; only the
+    # scatter-add reduction order may differ
+    np.testing.assert_allclose(np.asarray(dist.user),
+                               np.asarray(single.user), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dist.item),
+                               np.asarray(single.item), atol=1e-12)
