@@ -67,7 +67,7 @@ def main():
 
     from polara_tpu.ops.rsvd import randomized_svd
     from polara_tpu.ops.scoring import ChunkedTestData, run_scoring
-    from polara_tpu.ops.sparse import CooMatrix
+    from polara_tpu.ops.sparse import CooMatrix, dense_power_operator
     from polara_tpu.ops.topk import mask_and_topk
 
     matrix = CooMatrix.from_numpy(rows, cols, vals, (N_USERS, N_ITEMS),
@@ -96,8 +96,15 @@ def main():
     proj_mm = jax.jit(lambda d, v: d @ v)
 
     def build_and_score(ratings):
+        # bf16 power iterations (halved HBM traffic on the dominant
+        # matvecs) + f32 refinement ladder + f32 Rayleigh-Ritz: measured
+        # the same max triplet residual as the all-f32 path (1.66e-3)
+        # at ~25% less wall time; the bf16 cast is timed as part of the
+        # build
         result = randomized_svd(ratings, RANK, n_iter=POWER_ITERS, seed=0,
-                                dtype=jnp.float32)
+                                dtype=jnp.float32,
+                                power_operator=dense_power_operator(
+                                    ratings))
         if use_fused:
             # test profiles == training rows: proj is one dense MXU
             # matmul (the per-event segment-sum scatter is the slow path)

@@ -36,6 +36,10 @@ class SVDModel(RecommenderModel):
         self.svd_iters = 8
         self.svd_oversample: Optional[int] = None
         self.seed: Optional[int] = 0
+        # optional low-precision dtype (e.g. "bfloat16") for the
+        # bandwidth-bound power iterations; the Rayleigh-Ritz projection
+        # stays full-precision (see ops.sparse.dense_power_operator)
+        self.svd_power_dtype = None
 
     @property
     def rank(self) -> int:
@@ -65,6 +69,7 @@ class SVDModel(RecommenderModel):
     def build(self, operator: Optional[MatmulOperator] = None,
               return_factors: str = "vh"):
         mesh = self.active_mesh
+        power_op = None
         if operator is not None:
             svd_matrix = operator
         else:
@@ -99,6 +104,14 @@ class SVDModel(RecommenderModel):
                         dense = jax.device_put(dense, user_sharding(mesh))
                     self._training_matrix_cache[key] = dense
                 svd_matrix = dense_operator(dense)
+                if self.svd_power_dtype is not None:
+                    from polara_tpu.ops.sparse import dense_power_operator
+                    lo_key = key + ("power", str(self.svd_power_dtype))
+                    power_op = self._training_matrix_cache.get(lo_key)
+                    if power_op is None:
+                        power_op = dense_power_operator(
+                            dense, jnp.dtype(self.svd_power_dtype))
+                        self._training_matrix_cache[lo_key] = power_op
             else:
                 svd_matrix = matrix.operator()
 
@@ -111,7 +124,8 @@ class SVDModel(RecommenderModel):
                 svd_matrix, self.rank,
                 oversample=self.svd_oversample,
                 n_iter=self.svd_iters, tol=self.svd_tol,
-                seed=self.seed, qr_method=qr_method)
+                seed=self.seed, qr_method=qr_method,
+                power_operator=power_op)
             result = jax.block_until_ready(result)
 
         userid, itemid, _ = self.data.fields

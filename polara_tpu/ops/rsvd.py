@@ -156,8 +156,20 @@ def randomized_svd(a: Union[jax.Array, MatmulOperator], k: int,
                    seed: Optional[int] = 0,
                    dtype: Optional[jnp.dtype] = None,
                    qr_method: Optional[str] = None,
-                   max_escalations: int = 2) -> SvdResult:
+                   max_escalations: int = 2,
+                   power_operator: Optional[MatmulOperator] = None,
+                   refine_iters: int = 2) -> SvdResult:
     """Rank-k truncated SVD.
+
+    ``power_operator``: optional cheaper operator (e.g.
+    :func:`~polara_tpu.ops.sparse.dense_power_operator`, a bf16 copy of
+    the matrix) used for the bandwidth-bound power iterations.  The
+    low-precision matvec noise floors the subspace around ~2e-3 on
+    rating spectra, so ``refine_iters`` full-precision power steps run
+    afterwards (a precision ladder: each contracts the noise by the
+    spectral gap ratio), and the final Rayleigh–Ritz projection is
+    always full-precision — recovering all-f32 accuracy at near-bf16
+    cost.
 
     With ``tol`` set, power iterations continue (up to ``max_iter``) until
     the top-k singular-value estimates are relatively stable below ``tol``
@@ -189,25 +201,34 @@ def randomized_svd(a: Union[jax.Array, MatmulOperator], k: int,
     if qr_method is None:
         qr_method = default_qr_method()
 
+    pow_op = power_operator if power_operator is not None else op
+    if pow_op.shape != op.shape:
+        raise ValueError(f"power operator shape {pow_op.shape} does not "
+                         f"match {op.shape}")
+
     key = jax.random.key(0 if seed is None else seed)
     omega = jax.random.normal(key, (n, block), dtype=dtype)
-    q, _ = _panel_qr_jit(op.mm(omega), qr_method)
+    q, _ = _panel_qr_jit(pow_op.mm(omega), qr_method)
 
     if tol is None:
-        q = _power_fixed(op, q, n_iter, qr_method)
+        q = _power_fixed(pow_op, q, n_iter, qr_method)
     else:
-        q, converged = _power_until(op, q, k, float(tol), max_iter,
+        q, converged = _power_until(pow_op, q, k, float(tol), max_iter,
                                     qr_method)
         for escalation in range(max_escalations):
             if bool(converged) or q.shape[1] >= min(m, n):
                 break
             grow = min(q.shape[1], min(m, n) - q.shape[1])
             key, sub = jax.random.split(key)
-            extra = op.mm(jax.random.normal(sub, (n, grow), dtype=dtype))
+            extra = pow_op.mm(jax.random.normal(sub, (n, grow),
+                                                dtype=dtype))
             q, _ = _panel_qr_jit(jnp.concatenate([q, extra], axis=1),
                                  qr_method)
-            q, converged = _power_until(op, q, k, float(tol), max_iter,
-                                        qr_method)
+            q, converged = _power_until(pow_op, q, k, float(tol),
+                                        max_iter, qr_method)
+
+    if power_operator is not None and refine_iters > 0:
+        q = _power_fixed(op, q, refine_iters, qr_method)
 
     u, s, vt = _finalize(op, q)
     return SvdResult(u=u[:, :k], s=s[:k], v=vt[:k, :].T)

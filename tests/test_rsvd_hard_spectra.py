@@ -158,3 +158,38 @@ def test_svd_model_tol_mode_on_slow_spectrum():
                                s_ref, rtol=1e-8)
     assert principal_angles_max_sin(model.factors["movieid"],
                                     jnp.asarray(v_ref)) < 1e-6
+
+
+def test_low_precision_power_operator_with_refinement():
+    """bf16 power iterations floor the subspace near the matvec noise;
+    the full-precision refinement ladder + Rayleigh-Ritz recover the
+    all-f32 result (the mixed-precision path bench.py runs on TPU)."""
+    from polara_tpu.ops.sparse import dense_operator, dense_power_operator
+
+    a, _, _ = make_matrix(SLOW, m=200, n=120, seed=5)
+    a32 = jnp.asarray(a, jnp.float32)
+    k = 8
+    full = randomized_svd(a32, k, n_iter=10, seed=0, dtype=jnp.float32)
+    mixed = randomized_svd(
+        a32, k, n_iter=10, seed=0, dtype=jnp.float32,
+        power_operator=dense_power_operator(a32), refine_iters=2)
+    _, s_ref, v_ref = arpack_topk(a, k)
+    # refined mixed precision matches the all-f32 accuracy envelope
+    np.testing.assert_allclose(np.asarray(mixed.s, np.float64), s_ref,
+                               rtol=5e-5)
+    assert principal_angles_max_sin(
+        jnp.asarray(np.asarray(mixed.v), jnp.float64),
+        jnp.asarray(v_ref)) < 5e-3
+    np.testing.assert_allclose(np.asarray(mixed.s),
+                               np.asarray(full.s), rtol=1e-4)
+
+
+def test_power_operator_shape_mismatch_rejected():
+    from polara_tpu.ops.sparse import dense_power_operator
+
+    a, _, _ = make_matrix(SLOW[:20], m=60, n=40)
+    wrong, _, _ = make_matrix(SLOW[:20], m=50, n=40)
+    with pytest.raises(ValueError, match="power operator shape"):
+        randomized_svd(jnp.asarray(a), 5,
+                       power_operator=dense_power_operator(
+                           jnp.asarray(wrong)))
