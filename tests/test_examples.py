@@ -1,16 +1,35 @@
-"""Executable examples double as integration tests (the reference uses
-notebooks the same way, SURVEY §4)."""
-import runpy
+"""Smoke-run every example script (the reference validates pipelines via
+executable notebooks, SURVEY §4 — these scripts are our equivalent, so
+they must stay runnable)."""
+import importlib.util
+import io
+import pathlib
 import sys
-from pathlib import Path
+from contextlib import redirect_stdout
 
 import pytest
 
-EXAMPLES = sorted((Path(__file__).parent.parent / "examples").glob("*.py"))
+EXAMPLES_DIR = pathlib.Path(__file__).resolve().parent.parent / "examples"
+EXAMPLES = sorted(p.stem for p in EXAMPLES_DIR.glob("*.py"))
 
 
-@pytest.mark.parametrize("script", EXAMPLES, ids=lambda p: p.stem)
-def test_example_runs(script, capsys):
-    runpy.run_path(str(script), run_name="__main__")
-    out = capsys.readouterr().out
-    assert out.strip(), f"{script.name} produced no output"
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        f"example_{name}", EXAMPLES_DIR / f"{name}.py")
+    module = importlib.util.module_from_spec(spec)
+    # examples are standalone scripts; register so dataclasses etc. work
+    sys.modules[spec.name] = module
+    try:
+        spec.loader.exec_module(module)
+    finally:
+        sys.modules.pop(spec.name, None)
+    return module
+
+
+@pytest.mark.parametrize("name", EXAMPLES)
+def test_example_runs(name):
+    module = _load(name)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        module.main()
+    assert buf.getvalue().strip(), f"{name} produced no output"

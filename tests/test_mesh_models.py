@@ -153,3 +153,26 @@ def test_coffee_model_mesh_matches_single_device(mesh):
     assert principal_angles_max_sin(single.factors[itemid],
                                     dist.factors[itemid]) < 1e-6
     assert _agreement(single.recommendations, dist.recommendations) > 0.99
+
+
+def test_cv_experiment_under_mesh_matches_single_device(mesh):
+    """The CV driver is mesh-transparent: fold rotation + rebuilds under
+    a scoped mesh produce the same per-fold metrics as single-device."""
+    from polara_tpu.evaluation.engine import run_cv_experiment
+
+    def run(active_mesh):
+        data = _prepared_data(seed=9)
+        model = SVDModel(data)
+        model.verbose = False
+        model.compute_dtype = jnp.float64
+        model.rank = 5
+        ctx = use_mesh(active_mesh)
+        with ctx:
+            return run_cv_experiment([model], folds=[1, 2],
+                                     metrics="ranking")
+
+    single = run(None)
+    dist = run(mesh)
+    assert (single.index == dist.index).all()
+    np.testing.assert_allclose(single.values.astype(float),
+                               dist.values.astype(float), atol=1e-9)
