@@ -29,19 +29,27 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _sync(value):
+    """Force completion of the computation producing ``value`` with a
+    tiny device→host copy: through the axon tunnel block_until_ready
+    does not synchronize (see CLAUDE.md), and copying whole factor
+    panels would bill tunnel bandwidth (~1s for a dense i2i matrix) to
+    the build — the artifacts are *meant* to stay HBM-resident."""
+    import jax
+    if isinstance(value, jax.Array):
+        corner = value[(slice(0, 2),) * value.ndim]
+        np.asarray(corner)
+    elif value is not None:
+        np.asarray(value)
+
+
 def _materialize(model):
-    """Force a host copy of the trained factors: through the axon tunnel
-    block_until_ready does not synchronize, so this is what makes the
-    timings real (see CLAUDE.md)."""
     factors = getattr(model, "factors", None)
     if factors:
         for value in factors.values():
-            if value is not None:
-                np.asarray(value)
+            _sync(value)
     for attr in ("item_scores", "_i2i_matrix"):
-        value = getattr(model, attr, None)
-        if value is not None:
-            np.asarray(value)
+        _sync(getattr(model, attr, None))
 
 
 def timed_build(model, n=3, **attrs):

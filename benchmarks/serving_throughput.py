@@ -22,11 +22,36 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def measure_dispatch_floor():
+    """Smallest possible synchronous dispatch (8-float round trip).
+
+    Through the axon tunnel every synchronous call pays ~30 ms of
+    network RTT; on co-located serving hardware this floor is ~0.  It is
+    reported alongside the latency so the number is interpretable."""
+    import jax
+    import jax.numpy as jnp
+    noop = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(8, jnp.float32)
+    np.asarray(noop(x))
+    return min(_timeit(lambda: np.asarray(noop(x)), 5))
+
+
+def _timeit(fn, n):
+    out = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        out.append(time.perf_counter() - t0)
+    return out
+
+
 def main():
     rs = np.random.RandomState(0)
     factors = rs.randn(N_ITEMS, RANK).astype(np.float32)
     bundle = ServingBundle(factors, topk=10, batch_size=BATCH)
     bundle.warmup()
+    floor = measure_dispatch_floor()
+    log(f"synchronous dispatch floor (tunnel RTT): {floor * 1e3:.1f} ms")
 
     events = [rs.choice(N_ITEMS, 100, replace=False).tolist()
               for _ in range(BATCH)]
@@ -47,6 +72,8 @@ def main():
         "unit": "ms",
         "vs_baseline": None,
         "users_per_sec": round(BATCH / latency),
+        "dispatch_floor_ms": round(floor * 1e3, 3),
+        "net_of_floor_ms": round((latency - floor) * 1e3, 3),
     }))
 
 

@@ -11,6 +11,7 @@ the serving loop.
 from __future__ import annotations
 
 from functools import partial
+from itertools import chain, repeat
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -34,23 +35,29 @@ def _serve_step(right_panel: jax.Array, left_panel: jax.Array,
 
 @partial(jax.jit, static_argnames=("topk", "filter_seen"))
 def _serve_step_events(right_panel: jax.Array, left_panel: jax.Array,
-                       item_ids: jax.Array, values: jax.Array,
-                       valid: jax.Array, topk: int,
+                       item_ids: jax.Array, values: Optional[jax.Array],
+                       lengths: jax.Array, topk: int,
                        filter_seen: bool) -> jax.Array:
-    """Event-list request path: ships (ids, values) instead of dense
-    profiles — two orders of magnitude less host→device traffic for
-    typical interaction histories."""
-    contrib = jnp.where(
-        valid[..., None],
-        values[..., None].astype(right_panel.dtype)
-        * right_panel[item_ids], 0.0)
-    proj = contrib.sum(axis=1)                       # (b, r)
+    """Event-list request path: ships (ids[, values], lengths) instead of
+    dense profiles — two orders of magnitude less host→device traffic for
+    typical interaction histories.  The validity mask is derived from
+    ``lengths`` on device, ``values=None`` means unit weights (implicit
+    events), and ids may arrive as int16 when the catalog fits — all three
+    shave request-upload bytes, which dominate serving latency."""
+    width = item_ids.shape[1]
+    valid = jnp.arange(width, dtype=lengths.dtype)[None, :] < lengths[:, None]
+    ids = jnp.where(valid, item_ids, 0).astype(jnp.int32)
+    if values is None:
+        weights = valid.astype(right_panel.dtype)
+    else:
+        weights = jnp.where(valid, values, 0).astype(right_panel.dtype)
+    proj = jnp.einsum("bw,bwr->br", weights, right_panel[ids])
     scores = proj @ left_panel.T                     # (b, n_items)
     if filter_seen:
         rows = jnp.broadcast_to(
-            jnp.arange(item_ids.shape[0])[:, None], item_ids.shape)
+            jnp.arange(ids.shape[0])[:, None], ids.shape)
         update = jnp.where(valid, -jnp.inf, jnp.inf)
-        scores = scores.at[rows, jnp.where(valid, item_ids, 0)].min(update)
+        scores = scores.at[rows, ids].min(update)
     _, idx = jax.lax.top_k(scores, topk)
     return idx.astype(jnp.int32)
 
@@ -111,36 +118,51 @@ class ServingBundle:
         n = len(events)
         if n == 0:
             return np.empty((0, self.topk), dtype=np.int32)
-        rows = []
-        for user_events in events:
-            if isinstance(user_events, dict):
-                rows.append((np.fromiter(user_events.keys(), np.int64,
-                                         len(user_events)),
-                             np.fromiter(user_events.values(), np.float64,
-                                         len(user_events))))
-            else:
-                items = np.asarray(list(user_events), dtype=np.int64)
-                rows.append((items, np.ones(len(items))))
-        width = max(1, max(len(i) for i, _ in rows))
+        # Vectorized request assembly: one C-speed pass over the flattened
+        # events (per-user numpy allocation is the latency floor on slow
+        # hosts), then a single fancy-indexed scatter into the padded block.
+        events = [e if isinstance(e, dict) or hasattr(e, "__len__")
+                  else list(e) for e in events]
+        lengths = np.fromiter((len(e) for e in events), np.int64, n)
+        total = int(lengths.sum())
+        flat_ids = np.fromiter(
+            chain.from_iterable(e.keys() if isinstance(e, dict) else e
+                                for e in events), np.int64, total)
+        if any(isinstance(e, dict) for e in events):
+            flat_vals = np.fromiter(
+                chain.from_iterable(
+                    e.values() if isinstance(e, dict)
+                    else repeat(1.0, len(e)) for e in events),
+                np.float32, total)
+            if (flat_vals == 1.0).all():
+                flat_vals = None
+        else:
+            flat_vals = None    # item-id lists: implicit unit weights
+
+        width = max(1, int(lengths.max()) if n else 1)
         width = 1 << (width - 1).bit_length()   # bucket to powers of two
-        item_ids = np.zeros((n, width), np.int32)
-        values = np.zeros((n, width), np.float32)
-        valid = np.zeros((n, width), bool)
-        for r, (items, vals) in enumerate(rows):
-            item_ids[r, :len(items)] = items
-            values[r, :len(items)] = vals
-            valid[r, :len(items)] = True
+        ids_dtype = np.int16 if self.n_items <= np.iinfo(np.int16).max \
+            else np.int32
+        row_idx = np.repeat(np.arange(n), lengths)
+        col_idx = np.arange(total) - np.repeat(
+            np.cumsum(lengths) - lengths, lengths)
+        item_ids = np.zeros((n, width), ids_dtype)
+        item_ids[row_idx, col_idx] = flat_ids
+        if flat_vals is not None:
+            values = np.zeros((n, width), np.float32)
+            values[row_idx, col_idx] = flat_vals
+        lengths32 = lengths.astype(np.int32)
 
         out = np.empty((n, self.topk), dtype=np.int32)
         for start in range(0, n, self.batch_size):
             stop = min(start + self.batch_size, n)
-            pad = self.batch_size - (stop - start)
+            pad = ((0, self.batch_size - (stop - start)), (0, 0))
             recs = _serve_step_events(
                 self.item_factors, self.left_panel,
-                jnp.asarray(np.pad(item_ids[start:stop], ((0, pad),
-                                                          (0, 0)))),
-                jnp.asarray(np.pad(values[start:stop], ((0, pad), (0, 0)))),
-                jnp.asarray(np.pad(valid[start:stop], ((0, pad), (0, 0)))),
+                jnp.asarray(np.pad(item_ids[start:stop], pad)),
+                None if flat_vals is None
+                else jnp.asarray(np.pad(values[start:stop], pad)),
+                jnp.asarray(np.pad(lengths32[start:stop], pad[0])),
                 self.topk, self.filter_seen)
             out[start:stop] = np.asarray(recs)[: stop - start]
         return out
