@@ -10,6 +10,10 @@ import sys
 import time
 
 import numpy as np
+
+from polara_tpu.runtime.timing import enable_compilation_cache
+
+enable_compilation_cache()  # persists executables across runs
 import jax.numpy as jnp
 
 from polara_tpu.datasets.synthetic import load_or_make_ml10m
@@ -48,8 +52,11 @@ def main():
                              dense_budget_bytes=4 << 30)
         res = randomized_svd(op, RANK, n_iter=6, seed=seed,
                              dtype=jnp.float32)
-        return (np.asarray(chol.T.solve(res.v))[0, 0],
-                np.asarray(chol.dot(res.v))[0, 0])
+        # one tiny fetch syncs both projector chains (per-array host
+        # copies would pay one ~30ms tunnel RTT each)
+        probe = jnp.stack([chol.T.solve(res.v)[0, 0],
+                           chol.dot(res.v)[0, 0]])
+        return tuple(np.asarray(probe))
 
     t0 = time.perf_counter()
     build(0)

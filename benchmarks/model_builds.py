@@ -13,6 +13,10 @@ import sys
 import time
 
 import numpy as np
+
+from polara_tpu.runtime.timing import enable_compilation_cache
+
+enable_compilation_cache()  # persists executables across runs
 import pandas as pd
 
 from polara_tpu.data import RecommenderData
@@ -29,27 +33,31 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def _sync(value):
-    """Force completion of the computation producing ``value`` with a
-    tiny device→host copy: through the axon tunnel block_until_ready
-    does not synchronize (see CLAUDE.md), and copying whole factor
-    panels would bill tunnel bandwidth (~1s for a dense i2i matrix) to
-    the build — the artifacts are *meant* to stay HBM-resident."""
-    import jax
-    if isinstance(value, jax.Array):
-        corner = value[(slice(0, 2),) * value.ndim]
-        np.asarray(corner)
-    elif value is not None:
-        np.asarray(value)
-
-
 def _materialize(model):
+    """Force completion of the build with ONE tiny device→host copy:
+    through the axon tunnel block_until_ready does not synchronize (see
+    CLAUDE.md), copying whole factor panels would bill tunnel bandwidth
+    (~1s for a dense i2i matrix) to the build, and per-array host copies
+    would bill one ~30ms tunnel RTT each — so all factor corners are
+    concatenated on device and fetched in a single round trip.  The
+    artifacts themselves are *meant* to stay HBM-resident."""
+    import jax
+    import jax.numpy as jnp
+    values = []
     factors = getattr(model, "factors", None)
     if factors:
-        for value in factors.values():
-            _sync(value)
-    for attr in ("item_scores", "_i2i_matrix"):
-        _sync(getattr(model, attr, None))
+        values.extend(factors.values())
+    values.extend(getattr(model, attr, None)
+                  for attr in ("item_scores", "_i2i_matrix"))
+    corners = []
+    for value in values:
+        if isinstance(value, jax.Array):
+            corner = value[(slice(0, 2),) * value.ndim]
+            corners.append(corner.ravel().astype(jnp.float32))
+        elif value is not None:
+            np.asarray(value)
+    if corners:
+        np.asarray(jnp.concatenate(corners))
 
 
 def timed_build(model, n=3, **attrs):

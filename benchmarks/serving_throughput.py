@@ -13,6 +13,10 @@ import time
 
 import numpy as np
 
+from polara_tpu.runtime.timing import enable_compilation_cache
+
+enable_compilation_cache()  # persists executables across runs
+
 from polara_tpu.runtime.serving import ServingBundle
 
 N_ITEMS, RANK, BATCH = 10_677, 50, 1024

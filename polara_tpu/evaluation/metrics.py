@@ -210,7 +210,14 @@ def compute_metrics(recommendations: np.ndarray, holdout: pd.DataFrame,
         switch_positive=float(switch_positive or 0.0),
         alternative=bool(alternative), has_split=has_split,
         penalty=float(not_rated_penalty))
-    return {name: float(value) for name, value in out.items()}
+    # one stacked fetch: per-scalar float() would pay one device->host
+    # round trip EACH (~30ms through a tunneled backend — the dominant
+    # cost of an evaluate() call, not the metric math)
+    names = list(out)
+    float_dtype = jnp.asarray(0.0).dtype    # f64 under x64, else f32
+    stacked = np.asarray(jnp.stack([out[name].astype(float_dtype)
+                                    for name in names]))
+    return {name: float(value) for name, value in zip(names, stacked)}
 
 
 def get_experience_scores(recommendations: np.ndarray,
