@@ -124,3 +124,53 @@ def test_hybrid_svd_bundle_matches_model():
     scores[p > 0] = -np.inf
     expect = np.argsort(-scores[3], kind="stable")[:5]
     np.testing.assert_array_equal(recs[3], expect)
+
+
+def test_event_path_agrees_with_dense_profiles(trained_model):
+    """The low-bandwidth request encodings (implicit id lists, explicit
+    rating dicts, iterables, mixed batches) must pick the same items as
+    equivalent dense profiles."""
+    bundle = ServingBundle.from_model(trained_model, topk=5, batch_size=16)
+    n_items = bundle.n_items
+    rs = np.random.RandomState(3)
+    event_lists = [rs.choice(n_items, rs.randint(1, 9),
+                             replace=False).tolist() for _ in range(23)]
+    dense = np.zeros((23, n_items), np.float32)
+    for r, ev in enumerate(event_lists):
+        dense[r, ev] = 1.0
+    np.testing.assert_array_equal(bundle.recommend_events(event_lists),
+                                  bundle.recommend(dense))
+
+    # explicit ratings (disables the implicit all-ones collapse)
+    dict_reqs = [{int(i): float(v) for i, v in
+                  zip(ev, rs.randint(1, 6, len(ev)))} for ev in event_lists]
+    dense_w = np.zeros((23, n_items), np.float32)
+    for r, d in enumerate(dict_reqs):
+        for i, v in d.items():
+            dense_w[r, i] = v
+    np.testing.assert_array_equal(bundle.recommend_events(dict_reqs),
+                                  bundle.recommend(dense_w))
+
+    # mixed encodings in one batch, including a plain iterable
+    mixed = [event_lists[0], dict(zip(event_lists[1],
+                                      [1.0] * len(event_lists[1]))),
+             iter(event_lists[2])]
+    expect = bundle.recommend(dense[:3])
+    np.testing.assert_array_equal(bundle.recommend_events(mixed), expect)
+
+
+def test_event_path_width_bucketing(trained_model):
+    """Histories crossing the power-of-two width buckets (and an empty
+    request row) keep exact agreement with dense scoring."""
+    bundle = ServingBundle.from_model(trained_model, topk=4, batch_size=8)
+    n_items = bundle.n_items
+    rs = np.random.RandomState(5)
+    reqs = [rs.choice(n_items, n, replace=False).tolist()
+            for n in (1, 2, 17, 33, n_items)]
+    reqs.append([])                      # cold user: nothing seen
+    dense = np.zeros((len(reqs), n_items), np.float32)
+    for r, ev in enumerate(reqs):
+        dense[r, ev] = 1.0
+    out = bundle.recommend_events(reqs)
+    np.testing.assert_array_equal(out, bundle.recommend(dense))
+    assert out.shape == (len(reqs), 4)
