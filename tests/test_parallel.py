@@ -179,3 +179,55 @@ def test_distributed_bpr_matches_single_device():
                                np.asarray(single.user), atol=1e-12)
     np.testing.assert_allclose(np.asarray(dist.item),
                                np.asarray(single.item), atol=1e-12)
+
+
+class TestKrylovSvd:
+    """Block-Krylov rSVD (Musco & Musco): fewer matrix passes than
+    subspace iteration at comparable accuracy."""
+
+    @staticmethod
+    def _problem(seed=0, m=600, n=260, k=24):
+        rs = np.random.RandomState(seed)
+        u0, _ = np.linalg.qr(rs.randn(m, 120))
+        v0, _ = np.linalg.qr(rs.randn(n, 120))
+        s0 = 1.0 / (1 + np.arange(120)) ** 0.8      # slow decay
+        a = (u0 * s0) @ v0.T
+        ut, st, vt = np.linalg.svd(a, full_matrices=False)
+        return jnp.asarray(a), jnp.asarray(vt[:k].T), k
+
+    def test_accuracy_improves_with_depth(self):
+        from polara_tpu.ops.rsvd import (principal_angles_max_sin,
+                                         randomized_svd_krylov)
+        a, v_true, k = self._problem()
+        errs = [principal_angles_max_sin(
+                    randomized_svd_krylov(a, k, depth=d, seed=0).v, v_true)
+                for d in (2, 4, 6)]
+        assert errs[2] < errs[0]
+        assert errs[2] < 1e-5       # f64 (conftest x64): deep basis nails it
+
+    def test_matches_subspace_iteration(self):
+        from polara_tpu.ops.rsvd import (principal_angles_max_sin,
+                                         randomized_svd,
+                                         randomized_svd_krylov)
+        a, v_true, k = self._problem(seed=3)
+        sub = randomized_svd(a, k, n_iter=10, seed=0)
+        kry = randomized_svd_krylov(a, k, depth=4, seed=0)
+        err_sub = principal_angles_max_sin(sub.v, v_true)
+        err_kry = principal_angles_max_sin(kry.v, v_true)
+        assert err_kry <= max(2 * err_sub, 1e-6)
+        np.testing.assert_allclose(np.asarray(kry.s), np.asarray(sub.s),
+                                   rtol=1e-6)
+
+    def test_precision_ladder_refinement(self):
+        from polara_tpu.ops.rsvd import randomized_svd_krylov
+        from polara_tpu.ops.sparse import dense_operator
+        a, v_true, k = self._problem(seed=5)
+        a32 = a.astype(jnp.float32)
+        low = dense_operator(a32.astype(jnp.bfloat16))
+        res = randomized_svd_krylov(a32, k, depth=4, seed=0,
+                                    dtype=jnp.float32,
+                                    power_operator=low, refine_iters=1)
+        av = np.asarray(a32 @ res.v)
+        triplet = np.linalg.norm(av - np.asarray(res.u * res.s[None, :]),
+                                 axis=0) / float(res.s[0])
+        assert triplet.max() < 5e-3     # f32 floor despite bf16 basis
