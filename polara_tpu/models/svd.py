@@ -36,6 +36,12 @@ class SVDModel(RecommenderModel):
         self.svd_iters = 8
         self.svd_oversample: Optional[int] = None
         self.seed: Optional[int] = 0
+        # "subspace" (tolerance-controlled power iteration with block
+        # auto-escalation, the accuracy-first default) or "krylov"
+        # (block-Krylov Rayleigh-Ritz: ~half the passes over the rating
+        # matrix per build at a slightly looser f32 floor — the
+        # throughput choice for rebuild-heavy sweeps); depth ``svd_iters // 2``
+        self.svd_method = "subspace"
         # optional low-precision dtype (e.g. "bfloat16") for the
         # bandwidth-bound power iterations; the Rayleigh-Ritz projection
         # stays full-precision (see ops.sparse.dense_power_operator)
@@ -120,12 +126,21 @@ class SVDModel(RecommenderModel):
         qr_method = "cholesky2" if mesh is not None else None
         with track_time(self.training_time, verbose=self.verbose,
                         model=self.method):
-            result = randomized_svd(
-                svd_matrix, self.rank,
-                oversample=self.svd_oversample,
-                n_iter=self.svd_iters, tol=self.svd_tol,
-                seed=self.seed, qr_method=qr_method,
-                power_operator=power_op)
+            if self.svd_method == "krylov":
+                from polara_tpu.ops.rsvd import randomized_svd_krylov
+                result = randomized_svd_krylov(
+                    svd_matrix, self.rank,
+                    depth=max(2, self.svd_iters // 2),
+                    oversample=self.svd_oversample,
+                    seed=self.seed, qr_method=qr_method,
+                    power_operator=power_op)
+            else:
+                result = randomized_svd(
+                    svd_matrix, self.rank,
+                    oversample=self.svd_oversample,
+                    n_iter=self.svd_iters, tol=self.svd_tol,
+                    seed=self.seed, qr_method=qr_method,
+                    power_operator=power_op)
             result = jax.block_until_ready(result)
 
         userid, itemid, _ = self.data.fields

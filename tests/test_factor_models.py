@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from polara_tpu.data import RecommenderData
 from polara_tpu.models.mf import ProbabilisticMF
 from polara_tpu.models.coffee import CoffeeModel
+from polara_tpu.models.svd import SVDModel
 from polara_tpu.ops.factorize import mf_train
 from polara_tpu.ops.hooi import hooi, round_core, flatten_feedback_weights
 
@@ -297,3 +298,45 @@ def test_scaled_svd_dense_cache_tracks_scaling():
     dense_keys = [k for k in model._training_matrix_cache
                   if isinstance(k, tuple) and k and k[0] == "svd_dense"]
     assert len(dense_keys) == 1
+
+
+def test_svd_method_krylov_matches_subspace():
+    """`svd_method = "krylov"` is a drop-in solver switch.  Block-
+    structured ratings give a separated top spectrum (random sparse
+    fixtures are all degenerate noise bulk, where no solver pins
+    vectors), so factors and recommendations must coincide tightly."""
+    from polara_tpu.ops.rsvd import principal_angles_max_sin
+
+    rs = np.random.RandomState(0)
+    n_u, n_i, g = 80, 50, 4
+    ug, ig = rs.randint(0, g, n_u), rs.randint(0, g, n_i)
+    rows, cols = np.nonzero(rs.rand(n_u, n_i) < 0.6)
+    vals = np.where(ug[rows] == ig[cols], 5, 1) + rs.randint(0, 2, len(rows))
+    frame = pd.DataFrame({"userid": rows, "movieid": cols,
+                          "rating": vals.astype(np.int64)})
+    data = RecommenderData(frame, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+
+    def make(method):
+        model = SVDModel(data)
+        model.verbose = False
+        model.rank = 4
+        model.compute_dtype = jnp.float64
+        model.svd_method = method
+        model.svd_iters = 12        # krylov depth 6
+        model.build()
+        return model
+
+    sub, kry = make("subspace"), make("krylov")
+    itemid = data.fields.itemid
+    np.testing.assert_allclose(
+        np.asarray(sub.factors["singular_values"]),
+        np.asarray(kry.factors["singular_values"]), rtol=1e-5)
+    assert principal_angles_max_sin(sub.factors[itemid],
+                                    kry.factors[itemid]) < 5e-3
+    agree = (sub.recommendations == kry.recommendations).mean()
+    assert agree >= 0.98
