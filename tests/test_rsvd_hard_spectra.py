@@ -31,7 +31,11 @@ def make_matrix(spectrum, m=400, n=250, seed=0):
 
 
 def arpack_topk(a, k):
-    u, s, vt = scipy.sparse.linalg.svds(np.asarray(a, np.float64), k=k)
+    # seeded start vector: ARPACK's default v0 reads the numpy GLOBAL rng,
+    # so results would depend on whatever tests ran earlier in-process
+    v0 = np.random.RandomState(42).randn(min(a.shape))
+    u, s, vt = scipy.sparse.linalg.svds(np.asarray(a, np.float64), k=k,
+                                        v0=v0)
     order = np.argsort(s)[::-1]
     return u[:, order], s[order], vt[order].T
 
@@ -76,10 +80,15 @@ def test_cluster_straddling_cut_values_and_enclosing_subspace():
                           seed=0, dtype=jnp.float64)
     u_ref, s_ref, v_ref = arpack_topk(a, 13)
     np.testing.assert_allclose(np.asarray(ours.s), s_ref[:k], rtol=1e-9)
-    # every direction we report lies inside ARPACK's enclosing subspace
-    proj = jnp.asarray(v_ref) @ (jnp.asarray(v_ref).T @ ours.v)
-    residual = float(jnp.linalg.norm(ours.v - proj))
-    assert residual < 1e-6
+    # every direction we report is a true singular direction (lies in the
+    # enclosing invariant subspace): checked self-consistently via the
+    # triplet residual |A v_i - s_i u_i| — Lanczos with a 6-fold
+    # degenerate cluster can drop a cluster copy from ITS basis, so
+    # projecting onto ARPACK's subspace is flaky by construction
+    av = np.asarray(a) @ np.asarray(ours.v)
+    resid = np.linalg.norm(av - np.asarray(ours.u) * np.asarray(ours.s),
+                           axis=0)
+    assert resid.max() < 1e-9 * s_ref[0]
     # and the unambiguous head (above the cluster) matches exactly
     assert principal_angles_max_sin(ours.v[:, :7],
                                     jnp.asarray(v_ref[:, :7])) < 1e-6
