@@ -77,12 +77,13 @@ def build_holdout_arrays(holdout: pd.DataFrame, key: str, target: str,
 
 
 @partial(jax.jit, static_argnames=("topk", "alternative", "has_split",
-                                   "penalty"))
+                                   "penalty", "coverage_total"))
 def _metrics_core(recs: jax.Array, items: jax.Array, fb: jax.Array,
                   valid: jax.Array, is_pos: jax.Array,
                   topk: int, switch_positive: float,
                   alternative: bool, has_split: bool,
-                  penalty: float) -> Dict[str, jax.Array]:
+                  penalty: float,
+                  coverage_total: int = 0) -> Dict[str, jax.Array]:
     f = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     n_users = recs.shape[0]
 
@@ -171,12 +172,21 @@ def _metrics_core(recs: jax.Array, items: jax.Array, fb: jax.Array,
     else:
         ndcl = jnp.nan
 
-    return dict(
+    out = dict(
         hr=hr, arhr=arhr, mrr=mrr, map=mean_ap, ndcg=ndcg, ndcl=ndcl,
         precision=precision, recall=recall, miss_rate=miss_rate,
         fallout=fallout, specifity=specifity,
         tp=jnp.sum(tp), fp=jnp.sum(fp), tn=jnp.sum(tn), fn=jnp.sum(fn),
     )
+    if coverage_total:
+        # catalog coverage in the same fused pass (semantics of
+        # get_experience_scores: padding excluded — documented deviation
+        # from the reference's np.unique counting the pad value)
+        valid_rec = recs >= 0
+        hit = jnp.zeros((coverage_total,), bool).at[
+            jnp.clip(recs, 0, coverage_total - 1)].max(valid_rec)
+        out["coverage"] = jnp.sum(hit).astype(f) / coverage_total
+    return out
 
 
 def compute_metrics(recommendations: np.ndarray, holdout: pd.DataFrame,
@@ -186,9 +196,19 @@ def compute_metrics(recommendations: np.ndarray, holdout: pd.DataFrame,
                     switch_positive: Optional[float] = None,
                     not_rated_penalty: float = 0.0,
                     topk: Optional[int] = None,
-                    alternative: bool = True) -> Dict[str, float]:
-    """All metric families at once; returns a flat dict of floats."""
-    recs = np.asarray(recommendations)
+                    alternative: bool = True,
+                    coverage_total: Optional[int] = None
+                    ) -> Dict[str, float]:
+    """All metric families at once; returns a flat dict of floats.
+
+    ``recommendations`` may be a host array or an HBM-resident jax array
+    (the models' evaluate() path keeps it on device); with
+    ``coverage_total`` set, catalog coverage is computed inside the same
+    fused pass."""
+    if isinstance(recommendations, jax.Array):
+        recs = recommendations      # stays on device — no host round trip
+    else:
+        recs = np.asarray(recommendations)
     if recs.ndim == 1:
         recs = recs[None, :]
     items, fb, valid, keys, positions = build_holdout_arrays(
@@ -209,7 +229,8 @@ def compute_metrics(recommendations: np.ndarray, holdout: pd.DataFrame,
         topk=int(topk if topk is not None else recs.shape[1]),
         switch_positive=float(switch_positive or 0.0),
         alternative=bool(alternative), has_split=has_split,
-        penalty=float(not_rated_penalty))
+        penalty=float(not_rated_penalty),
+        coverage_total=int(coverage_total or 0))
     # one stacked fetch: per-scalar float() would pay one device->host
     # round trip EACH (~30ms through a tunneled backend — the dominant
     # cost of an evaluate() call, not the metric math)

@@ -31,8 +31,7 @@ from polara_tpu import config as defaults
 from polara_tpu.evaluation import metrics as metrics_mod
 from polara_tpu.evaluation.metrics import (Experience, Hits, Ranking,
                                            Relevance, SimpleRanking,
-                                           SimpleRelevance, compute_metrics,
-                                           get_experience_scores)
+                                           SimpleRelevance, compute_metrics)
 from polara_tpu.ops.scoring import (ChunkedTestData, TestChunk, run_scoring,
                                     run_scoring_fused, compiled_step)
 from polara_tpu.ops.sparse import CooMatrix, coo_from_arrays, dense_from_coo
@@ -72,6 +71,7 @@ class RecommenderModel:
         self.mesh = mesh
         self._recommendations: Optional[np.ndarray] = None
         self._test_plan: Optional[ChunkedTestData] = None
+        self._scoring_device_output = False
         self._test_users: Optional[np.ndarray] = None
         self._training_matrix_cache: dict = {}
         self.method = "ABC"
@@ -105,7 +105,32 @@ class RecommenderModel:
                     print(f"{self.method} model is not ready. Rebuilding.")
                 self.build()
             self._recommendations = self.get_recommendations()
+        if isinstance(self._recommendations, jax.Array):
+            # an evaluate() call left the cache HBM-resident; the public
+            # property contract is a host array — materialize once
+            self._recommendations = np.asarray(self._recommendations)
         return self._recommendations
+
+    def _device_recommendations(self) -> jax.Array:
+        """The recommendation cache as a device array.
+
+        evaluate() consumes recommendations on device (the metric pass is
+        jitted), so the standard scoring paths keep their output in HBM
+        and skip a download+reupload round trip per call.  Overridden
+        scoring paths that produce host arrays (cold start, warm-start
+        fold-in, sampled ranking) just pay the upload, as before."""
+        if self._recommendations is None:
+            self._scoring_device_output = True
+            try:
+                if not self._is_ready:
+                    if self.verbose:
+                        print(f"{self.method} model is not ready. "
+                              "Rebuilding.")
+                    self.build()
+                self._recommendations = self.get_recommendations()
+            finally:
+                self._scoring_device_output = False
+        return jnp.asarray(self._recommendations)
 
     def _renew_model(self):
         self._recommendations = None
@@ -299,10 +324,12 @@ class RecommenderModel:
             return run_scoring_fused(
                 plan, type(self).proj_chunk, params, topk=self.topk,
                 filter_seen=self.filter_seen, n_valid_cols=plan.n_items,
-                interpret=not on_tpu)
+                interpret=not on_tpu,
+                device=self._scoring_device_output)
         return run_scoring(plan, type(self).score_chunk, params,
                            topk=self.topk, filter_seen=self.filter_seen,
-                           n_valid_cols=plan.n_items, mesh=mesh)
+                           n_valid_cols=plan.n_items, mesh=mesh,
+                           device=self._scoring_device_output)
 
     # --- single-user convenience ---------------------------------------------
 
@@ -388,7 +415,7 @@ class RecommenderModel:
 
         if int(topk or 0) > self.topk:
             self.topk = topk  # flushes stale recommendations
-        recommendations = self.recommendations[:, :topk]
+        recommendations = self._device_recommendations()[:, :topk]
 
         switch_positive = switch_positive or self.switch_positive
         feedback = self.data.fields.feedback
@@ -404,6 +431,14 @@ class RecommenderModel:
             is_positive = (holdout[feedback] >= switch_positive).values
 
         feedback_col = None if ignore_feedback else feedback
+        coverage_total = None
+        if "experience" in metric_type:
+            fields = self.data.fields
+            entity = fields._fields[fields.index(self._prediction_target)] \
+                if self._prediction_target in fields else "itemid"
+            entity_index = getattr(self.data.index, entity)
+            entity_index = getattr(entity_index, "training", entity_index)
+            coverage_total = int(entity_index.shape[0])
         stats = compute_metrics(
             recommendations, holdout,
             key=self._prediction_key, target=self._prediction_target,
@@ -411,7 +446,8 @@ class RecommenderModel:
             switch_positive=switch_positive,
             not_rated_penalty=not_rated_penalty,
             topk=recommendations.shape[1],
-            alternative=defaults.get_default("ndcg_alternative"))
+            alternative=defaults.get_default("ndcg_alternative"),
+            coverage_total=coverage_total)
 
         simple = (self.data.holdout_size == 1) or simple_rates
         has_split = is_positive is not None
@@ -435,13 +471,7 @@ class RecommenderModel:
                     ndcl=stats["ndcl"] if has_split else None,
                     map=stats["map"], arhr=stats["arhr"]))
         if "experience" in metric_type:
-            fields = self.data.fields
-            entity = fields._fields[fields.index(self._prediction_target)] \
-                if self._prediction_target in fields else "itemid"
-            entity_index = getattr(self.data.index, entity)
-            entity_index = getattr(entity_index, "training", entity_index)
-            scores.append(get_experience_scores(recommendations,
-                                                entity_index.shape[0]))
+            scores.append(Experience(coverage=stats["coverage"]))
         if "hits" in metric_type:
             scores.append(Hits(
                 true_positive=stats["tp"], false_positive=stats["fp"],

@@ -173,16 +173,22 @@ def compiled_step(score_fn: ScoreFn, topk: int, filter_seen: bool,
 
 def run_scoring(data: ChunkedTestData, score_fn: ScoreFn, params: dict,
                 topk: int, filter_seen: bool = True,
-                n_valid_cols: Optional[int] = None, mesh=None) -> np.ndarray:
-    """Score every chunk, mask seen items, take top-k; returns host int32
-    array of shape (n_users, topk)."""
+                n_valid_cols: Optional[int] = None, mesh=None,
+                device: bool = False):
+    """Score every chunk, mask seen items, take top-k; returns an int32
+    array of shape (n_users, topk) — on host by default, or HBM-resident
+    with ``device=True`` (consumers like the fused metric pass read the
+    recommendations straight on device, skipping a download+reupload)."""
     step = compiled_step(score_fn, topk, filter_seen, n_valid_cols, mesh)
     parts = []
     for c, chunk in enumerate(data.chunks):
         recs = step(params, chunk)
         start = c * data.chunk_users
         stop = min(start + data.chunk_users, data.n_users)
-        parts.append(np.asarray(recs)[: stop - start])
+        part = recs[: stop - start]
+        parts.append(part if device else np.asarray(part))
+    if device:
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
     return np.concatenate(parts, axis=0)
 
 
@@ -211,7 +217,7 @@ def run_scores_only(data: ChunkedTestData, score_fn: ScoreFn,
 def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
                       topk: int, filter_seen: bool = True,
                       n_valid_cols: Optional[int] = None,
-                      interpret: bool = False) -> np.ndarray:
+                      interpret: bool = False, device: bool = False):
     """Like :func:`run_scoring` but through the fused Pallas kernel.
 
     ``proj_fn(params, chunk) -> (chunk_users, r)`` produces the user-side
@@ -232,7 +238,10 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
                                 interpret=interpret)
         start = c * data.chunk_users
         stop = min(start + data.chunk_users, data.n_users)
-        parts.append(np.asarray(recs)[: stop - start])
+        part = recs[: stop - start]
+        parts.append(part if device else np.asarray(part))
+    if device:
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
     return np.concatenate(parts, axis=0)
 
 
