@@ -99,12 +99,7 @@ class RecommenderModel:
 
     @property
     def recommendations(self) -> np.ndarray:
-        if self._recommendations is None:
-            if not self._is_ready:
-                if self.verbose:
-                    print(f"{self.method} model is not ready. Rebuilding.")
-                self.build()
-            self._recommendations = self.get_recommendations()
+        self._ensure_recommendations()
         if isinstance(self._recommendations, jax.Array):
             # an evaluate() call left the cache HBM-resident; the public
             # property contract is a host array — materialize once
@@ -119,18 +114,21 @@ class RecommenderModel:
         and skip a download+reupload round trip per call.  Overridden
         scoring paths that produce host arrays (cold start, warm-start
         fold-in, sampled ranking) just pay the upload, as before."""
-        if self._recommendations is None:
-            self._scoring_device_output = True
-            try:
-                if not self._is_ready:
-                    if self.verbose:
-                        print(f"{self.method} model is not ready. "
-                              "Rebuilding.")
-                    self.build()
-                self._recommendations = self.get_recommendations()
-            finally:
-                self._scoring_device_output = False
+        self._ensure_recommendations()
         return jnp.asarray(self._recommendations)
+
+    def _ensure_recommendations(self) -> None:
+        if self._recommendations is not None:
+            return
+        self._scoring_device_output = True
+        try:
+            if not self._is_ready:
+                if self.verbose:
+                    print(f"{self.method} model is not ready. Rebuilding.")
+                self.build()
+            self._recommendations = self.get_recommendations()
+        finally:
+            self._scoring_device_output = False
 
     def _renew_model(self):
         self._recommendations = None

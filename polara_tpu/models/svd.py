@@ -40,7 +40,10 @@ class SVDModel(RecommenderModel):
         # auto-escalation, the accuracy-first default) or "krylov"
         # (block-Krylov Rayleigh-Ritz: ~half the passes over the rating
         # matrix per build at a slightly looser f32 floor — the
-        # throughput choice for rebuild-heavy sweeps); depth ``svd_iters // 2``
+        # throughput choice for rebuild-heavy sweeps).  NOTE: the krylov
+        # path is depth-controlled (depth = ``svd_iters // 2``); it has
+        # no stopping test, so ``svd_tol`` and the auto-escalation it
+        # drives apply ONLY to the subspace path.
         self.svd_method = "subspace"
         # optional low-precision dtype (e.g. "bfloat16") for the
         # bandwidth-bound power iterations; the Rayleigh-Ritz projection

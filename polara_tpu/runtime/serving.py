@@ -103,13 +103,40 @@ class ServingBundle:
                    filter_seen=model.filter_seen, left_panel=left,
                    **kwargs)
 
-    def warmup(self) -> None:
-        """Trigger compilation ahead of the first request."""
+    def warmup(self, event_widths: Sequence[int] = (128,),
+               explicit_values: bool = False) -> None:
+        """Trigger compilation ahead of the first request.
+
+        Compiles both the dense-profile step and the event-list step —
+        the event path compiles one executable per (power-of-two history
+        width, implicit/explicit values), so pass the ``event_widths``
+        buckets your traffic will hit (e.g. ``(64, 128, 256)``; a width-w
+        bucket serves histories of up to w events) and set
+        ``explicit_values=True`` to also pre-compile the rating-dict
+        variant.  Unlisted shapes still work; they just compile on first
+        use."""
         dummy = jnp.zeros((self.batch_size, self.n_items),
                           self.item_factors.dtype)
         jax.block_until_ready(_serve_step(self.item_factors,
                                           self.left_panel, dummy,
                                           self.topk, self.filter_seen))
+        ids_dtype = self._wire_ids_dtype()
+        lengths = jnp.zeros((self.batch_size,), jnp.int32)
+        for width in event_widths:
+            ids = jnp.zeros((self.batch_size, int(width)), ids_dtype)
+            variants = [None]
+            if explicit_values:
+                variants.append(
+                    jnp.zeros((self.batch_size, int(width)), jnp.float32))
+            for values in variants:
+                jax.block_until_ready(_serve_step_events(
+                    self.item_factors, self.left_panel, ids, values,
+                    lengths, self.topk, self.filter_seen))
+
+    def _wire_ids_dtype(self):
+        """Smallest integer encoding for item ids on the request wire."""
+        return (np.int16 if self.n_items <= np.iinfo(np.int16).max
+                else np.int32)
 
     def recommend_events(self, events: Sequence) -> np.ndarray:
         """Top-k for per-user event lists (item-id lists or
@@ -141,8 +168,7 @@ class ServingBundle:
 
         width = max(1, int(lengths.max()) if n else 1)
         width = 1 << (width - 1).bit_length()   # bucket to powers of two
-        ids_dtype = np.int16 if self.n_items <= np.iinfo(np.int16).max \
-            else np.int32
+        ids_dtype = self._wire_ids_dtype()
         row_idx = np.repeat(np.arange(n), lengths)
         col_idx = np.arange(total) - np.repeat(
             np.cumsum(lengths) - lengths, lengths)

@@ -176,56 +176,6 @@ def test_event_path_width_bucketing(trained_model):
     assert out.shape == (len(reqs), 4)
 
 
-def test_bundle_from_hybrid_svd_uses_projectors():
-    """HybridSVD's asymmetric projector pair must flow into the bundle
-    and reproduce the model's own scoring rule R·V_right·V_leftᵀ."""
-    import pandas as pd
-    import scipy.sparse as sp
-    from polara_tpu.data.hybrid import SimilarityDataModel
-    from polara_tpu.models.hybrid import HybridSVD
-
-    rs = np.random.RandomState(0)
-    n_u, n_i = 50, 30
-    rows, cols = np.nonzero(rs.rand(n_u, n_i) < 0.4)
-    events = pd.DataFrame({"userid": rows, "movieid": cols,
-                           "rating": rs.randint(1, 6, len(rows))})
-    base = rs.randn(n_i, 8)
-    sim = base @ base.T
-    d = np.sqrt(np.diag(sim))
-    sim = 0.4 * sim / d[:, None] / d[None, :]
-    np.fill_diagonal(sim, 1.0)
-    item_ids = np.sort(events["movieid"].unique())
-    data = SimilarityDataModel(
-        events, "userid", "movieid", "rating",
-        relations_matrices={"movieid": sp.csr_matrix(sim[np.ix_(item_ids,
-                                                                item_ids)]),
-                            "userid": None},
-        relations_indices={"movieid": item_ids, "userid": None},
-        seed=0, verbose=False)
-    data.warm_start = False
-    data.test_ratio = 0
-    data.holdout_size = 1
-    data.prepare()
-
-    model = HybridSVD(data)
-    model.rank = 6
-    model.verbose = False
-    model.build()
-
-    bundle = ServingBundle.from_model(model, topk=5, batch_size=8)
-    itemid = data.fields.itemid
-    right = np.asarray(model.factors[f"{itemid}_projector_right"])
-    left = np.asarray(model.factors[f"{itemid}_projector_left"])
-    profiles = np.zeros((3, n_i), np.float32)
-    profiles[0, [1, 4]] = [5, 3]
-    profiles[1, [2]] = 4
-    profiles[2, [7, 9, 11]] = [1, 2, 5]
-    scores = (profiles @ right) @ left.T
-    scores[profiles > 0] = -np.inf
-    expect = np.argsort(-scores, axis=1, kind="stable")[:, :5]
-    np.testing.assert_array_equal(bundle.recommend(profiles), expect)
-
-
 def test_evaluate_keeps_recommendations_on_device(trained_model):
     """evaluate() must not force the rec panel to host: the cache stays
     a jax array until the public property is read."""
