@@ -186,3 +186,19 @@ def test_evaluate_keeps_recommendations_on_device(trained_model):
     recs = trained_model.recommendations           # public contract: host
     assert isinstance(recs, np.ndarray)
     assert isinstance(trained_model._recommendations, np.ndarray)
+
+
+def test_warmup_precompiles_event_path(trained_model):
+    """After warmup(event_widths=...), a request inside a listed width
+    bucket must not trigger a fresh trace/compile."""
+    from polara_tpu.runtime import serving as serving_mod
+
+    bundle = ServingBundle.from_model(trained_model, topk=4, batch_size=8)
+    bundle.warmup(event_widths=(16,), explicit_values=True)
+    before = serving_mod._serve_step_events._cache_size()
+    bundle.recommend_events([[1, 2, 3], list(range(10))])   # width 16
+    bundle.recommend_events(
+        [{i: float(2 + i % 3) for i in range(9)}])          # explicit, w16
+    assert serving_mod._serve_step_events._cache_size() == before
+    bundle.recommend_events([list(range(20))])              # width 32: new
+    assert serving_mod._serve_step_events._cache_size() == before + 1
