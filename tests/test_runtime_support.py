@@ -1,0 +1,108 @@
+"""Support components: timing, display, memory-planning shims
+(reference ``polara/tools/`` + ``polara/recommender/utils.py``)."""
+import io
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polara_tpu.runtime.display import print_frames, suppress_stdout
+from polara_tpu.runtime.memory import (array_split, get_available_memory,
+                                       get_chunk_size, plan_user_chunks,
+                                       range_division)
+from polara_tpu.runtime.timing import (format_elapsed_time, profiler_trace,
+                                       timed_blocked, track_time)
+
+
+class TestTiming:
+    def test_track_time_appends_and_prints(self, capsys):
+        store = []
+        with track_time(store, verbose=True, model="PureSVD"):
+            pass
+        assert len(store) == 1 and store[0] >= 0
+        out = capsys.readouterr().out
+        assert out.startswith("PureSVD training time: ")
+
+    def test_track_time_without_store(self, capsys):
+        with track_time(verbose=False):
+            pass
+        assert capsys.readouterr().out == ""
+
+    def test_format_elapsed_time_units(self):
+        assert format_elapsed_time(5e-4).endswith("µs")
+        assert format_elapsed_time(0.25) == "250.0ms"
+        assert format_elapsed_time(1.5) == "1.500s"
+        assert format_elapsed_time(61.25) == "1m01.2s"
+
+    def test_timed_blocked_returns_result(self):
+        import jax.numpy as jnp
+        result, seconds = timed_blocked(lambda: jnp.arange(4) * 2)
+        np.testing.assert_array_equal(np.asarray(result), [0, 2, 4, 6])
+        assert seconds >= 0
+
+    def test_profiler_trace_noop_without_logdir(self):
+        with profiler_trace(None):
+            marker = 41 + 1
+        assert marker == 42
+
+
+class TestDisplay:
+    def test_suppress_stdout(self, capsys):
+        print("before")
+        with suppress_stdout():
+            print("hidden")
+        print("after")
+        out = capsys.readouterr().out
+        assert "hidden" not in out
+        assert "before" in out and "after" in out
+
+    def test_print_frames_plain_fallback(self, capsys, monkeypatch):
+        # simulate no IPython: the helper must degrade to plain printing
+        import builtins
+        real_import = builtins.__import__
+
+        def no_ipython(name, *args, **kwargs):
+            if name.startswith("IPython"):
+                raise ImportError(name)
+            return real_import(name, *args, **kwargs)
+
+        monkeypatch.setattr(builtins, "__import__", no_ipython)
+        frames = [pd.DataFrame({"a": [1]}), pd.DataFrame({"b": [2]})]
+        assert print_frames(frames) is None
+        out = capsys.readouterr().out
+        assert "a" in out and "b" in out
+
+
+class TestMemoryPlanning:
+    def test_range_division_covers_interval(self):
+        assert range_division(10, 4) == [0, 4, 8, 10]
+        assert range_division(8, 4) == [0, 4, 8]      # no duplicate tail
+        assert range_division(3, 10) == [0, 3]
+
+    def test_chunks_fit_budget(self):
+        # 1000 x 1000 f32 scores = 4MB; a 1MB budget needs >= 4 chunks
+        budget_gb = 1 / 1024
+        chunks = plan_user_chunks(1000, 1000, budget_gb=budget_gb)
+        assert chunks[0][0] == 0 and chunks[-1][1] == 1000
+        budget_rows = int(budget_gb * 2**30 / (1000 * 4))
+        for start, stop in chunks:
+            # chunks round UP to the 8-row sublane grid by design
+            assert stop - start <= budget_rows + 8
+        # boundaries are contiguous
+        for (_, stop), (start, _) in zip(chunks, chunks[1:]):
+            assert stop == start
+
+    def test_scores_multiplier_shrinks_chunks(self):
+        plain = get_chunk_size(10_000, 1000, budget_gb=1 / 1024)
+        inflated = get_chunk_size(10_000, 1000, scores_multiplier=4,
+                                  budget_gb=1 / 1024)
+        assert inflated <= max(1, plain // 2)
+
+    def test_array_split_matches_chunk_size(self):
+        bounds = array_split(1000, 1000, budget_gb=1 / 1024)
+        chunk = get_chunk_size(1000, 1000, budget_gb=1 / 1024)
+        assert bounds == range_division(1000, chunk)
+
+    def test_available_memory_positive(self):
+        assert get_available_memory() > 0
