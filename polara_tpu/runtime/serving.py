@@ -166,6 +166,13 @@ class ServingBundle:
         else:
             flat_vals = None    # item-id lists: implicit unit weights
 
+        if total and not (0 <= flat_ids.min()
+                          and flat_ids.max() < self.n_items):
+            raise ValueError(
+                f"event item ids must lie in [0, {self.n_items}); got "
+                f"range [{flat_ids.min()}, {flat_ids.max()}] — out-of-range"
+                " ids would silently wrap in the compact wire encoding")
+
         width = max(1, int(lengths.max()) if n else 1)
         width = 1 << (width - 1).bit_length()   # bucket to powers of two
         ids_dtype = self._wire_ids_dtype()

@@ -202,3 +202,13 @@ def test_warmup_precompiles_event_path(trained_model):
     assert serving_mod._serve_step_events._cache_size() == before
     bundle.recommend_events([list(range(20))])              # width 32: new
     assert serving_mod._serve_step_events._cache_size() == before + 1
+
+
+def test_event_ids_out_of_range_rejected(trained_model):
+    """Out-of-range ids must raise rather than silently wrap in the
+    compact (int16) wire encoding."""
+    bundle = ServingBundle.from_model(trained_model, topk=3, batch_size=4)
+    with pytest.raises(ValueError, match="out-of-range"):
+        bundle.recommend_events([[0, bundle.n_items]])
+    with pytest.raises(ValueError, match="out-of-range"):
+        bundle.recommend_events([{-1: 2.0}])
