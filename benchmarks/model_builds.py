@@ -74,6 +74,8 @@ def timed_build(model, n=3, **attrs):
         model.build()
         _materialize(model)
         timings.append(time.perf_counter() - t0)
+    log(f"  {model.method} rebuilds: "
+        + ", ".join(f"{t:.3f}s" for t in timings))
     return min(timings)
 
 
@@ -93,7 +95,10 @@ def main():
     log(f"PureSVD rank-10 build: {svd:.3f}s (ref CPU 0.095-0.15s)")
     scaled = timed_build(ScaledSVD(data), rank=10)
     log(f"ScaledSVD rank-10 build: {scaled:.3f}s (ref 0.534s)")
-    coffee = timed_build(CoffeeModel(data), n=2)
+    # HOOI's core-growth stopping rule is init-seed dependent (some seeds
+    # take ~10 iterations, most converge in 2-3): sample enough rebuilds
+    # that the steady-state minimum is stable run to run
+    coffee = timed_build(CoffeeModel(data), n=4)
     log(f"CoFFee (13,10,2) build: {coffee:.3f}s (ref 1.18-3.54s)")
     ials = timed_build(ImplicitALS(data), n=2, rank=10)
     log(f"iALS rank-10 15ep build: {ials:.3f}s (ref 1.6-1.8s)")
