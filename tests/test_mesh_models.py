@@ -176,3 +176,32 @@ def test_cv_experiment_under_mesh_matches_single_device(mesh):
     assert (single.index == dist.index).all()
     np.testing.assert_allclose(single.values.astype(float),
                                dist.values.astype(float), atol=1e-9)
+
+
+def test_bpr_model_mesh_matches_single_device(mesh):
+    """distributed_bpr draws the single-chip sampler's exact batch
+    trajectory, so a mesh build must reproduce the single-device factors
+    up to collective reduction order."""
+    from polara_tpu.models.implicit_mf import ImplicitBPR
+
+    data = _prepared_data(seed=7, warm_start=False, holdout_size=2)
+
+    def configure(model):
+        model.verbose = False
+        model.rank = 5
+        model.num_epochs = 4
+        model.batch_size = 64    # divides over the 8-device users axis
+        model.seed = 0
+        return model
+
+    single = configure(ImplicitBPR(data))
+    single.build()
+    dist = configure(ImplicitBPR(data, mesh=make_mesh(axes=("users",),
+                                                      shape=(8,))))
+    dist.build()
+
+    itemid = data.fields.itemid
+    np.testing.assert_allclose(np.asarray(dist.factors[itemid]),
+                               np.asarray(single.factors[itemid]),
+                               rtol=2e-3, atol=2e-5)
+    assert _agreement(single.recommendations, dist.recommendations) > 0.99
