@@ -181,8 +181,10 @@ def _metrics_core(recs: jax.Array, items: jax.Array, fb: jax.Array,
     if coverage_total:
         # catalog coverage in the same fused pass (semantics of
         # get_experience_scores: padding excluded — documented deviation
-        # from the reference's np.unique counting the pad value)
-        valid_rec = recs >= 0
+        # from the reference's np.unique counting the pad value).  Ids
+        # beyond the catalog are excluded too, not clipped onto the last
+        # catalog item.
+        valid_rec = (recs >= 0) & (recs < coverage_total)
         hit = jnp.zeros((coverage_total,), bool).at[
             jnp.clip(recs, 0, coverage_total - 1)].max(valid_rec)
         out["coverage"] = jnp.sum(hit).astype(f) / coverage_total
@@ -266,8 +268,29 @@ def convert_scores_to_series(metrics, name: str = "scores") -> pd.Series:
 # (recommendations, holdout) pair instead.
 # --------------------------------------------------------------------------
 
+# One-entry memo over the fused pass: reference-style call sequences
+# (``get_ranking_scores`` then ``get_relevance_scores`` on the same recs)
+# must pay ONE device pass, not one per family — through a tunneled
+# backend each extra pass costs a ~30 ms sync.  Keyed on argument
+# *identity* (strong refs retained, so ids cannot be recycled).
+_family_memo: dict = {}
+
+
 def _family(recommendations, holdout, key, target, **kwargs):
-    return compute_metrics(recommendations, holdout, key, target, **kwargs)
+    arrays = {k: v for k, v in kwargs.items()
+              if isinstance(v, (np.ndarray, jax.Array))}
+    scalars = tuple(sorted((k, v) for k, v in kwargs.items()
+                           if k not in arrays))
+    memo_key = ((id(recommendations), id(holdout))
+                + tuple(id(v) for _, v in sorted(arrays.items())),
+                key, target, tuple(sorted(arrays)), scalars)
+    if _family_memo.get("key") == memo_key:
+        return _family_memo["value"]
+    value = compute_metrics(recommendations, holdout, key, target, **kwargs)
+    _family_memo.update(
+        key=memo_key, value=value,
+        refs=(recommendations, holdout, tuple(arrays.values())))
+    return value
 
 
 def get_hr_score(recommendations, holdout, key, target, **kwargs):

@@ -272,8 +272,18 @@ class RecommenderModel:
             user_rows, item_idx,
             np.asarray(feedback, dtype=np.float64),
             n_users=test_shape[0], n_items=test_shape[1],
-            scores_multiplier=self.scores_multiplier)
+            scores_multiplier=self.scores_multiplier,
+            n_shards=self._mesh_shards())
         return plan, test_users
+
+    def _mesh_shards(self) -> int:
+        """Users-axis size of the active mesh (1 when unmeshed) — the
+        score block row-shards over it, so chunk planning scales its HBM
+        budget accordingly (mirrors ``models/svd.py`` dense budgeting)."""
+        mesh = self.active_mesh
+        if mesh is None:
+            return 1
+        return int(mesh.shape[mesh.axis_names[0]])
 
     # --- scoring -------------------------------------------------------------
 
@@ -307,8 +317,13 @@ class RecommenderModel:
     def get_recommendations(self) -> np.ndarray:
         if self.verify_integrity:
             self.verify_data_integrity()
-        if self._test_plan is None:  # survives rebuilds; reset on data events
+        if (self._test_plan is None   # survives rebuilds; reset on data
+                # events — and re-planned if the mesh changed since (the
+                # chunk budget is mesh-size-dependent)
+                or getattr(self, "_test_plan_shards", None)
+                != self._mesh_shards()):
             self._test_plan, self._test_users = self._build_test_plan()
+            self._test_plan_shards = self._mesh_shards()
         plan, test_users = self._test_plan, self._test_users
         params = dict(self.score_params())
         params["test_users"] = jnp.asarray(test_users, jnp.int32)

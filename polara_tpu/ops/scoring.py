@@ -54,17 +54,22 @@ class ChunkedTestData:
               values: np.ndarray, n_users: int, n_items: int,
               chunk_users: Optional[int] = None,
               scores_multiplier: int = 1,
-              budget_gb: Optional[float] = None) -> "ChunkedTestData":
+              budget_gb: Optional[float] = None,
+              n_shards: int = 1) -> "ChunkedTestData":
         """``user_rows`` must be sorted ascending (data model guarantees).
 
         ``user_rows`` are *rebased* test rows 0..n_users-1 — the caller maps
         raw test user ids through the test-user list first (reference does
         the same rebasing in ``models.py:249-253``).
+
+        ``n_shards``: mesh users-axis size — the planner budgets for a
+        row-sharded score block (n_shards× fewer, larger chunks).
         """
         if chunk_users is None:
             bounds = plan_user_chunks(n_users, n_items,
                                       scores_multiplier=scores_multiplier,
-                                      budget_gb=budget_gb)
+                                      budget_gb=budget_gb,
+                                      n_shards=n_shards)
             chunk_users = bounds[0][1] - bounds[0][0]
         n_chunks = -(-n_users // chunk_users)
 

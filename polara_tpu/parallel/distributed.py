@@ -307,6 +307,12 @@ def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
 
     if init_factors is not None:
         u1, u2 = (jnp.asarray(np.asarray(f), dtype) for f in init_factors)
+        # mirror single-device hooi's validation (ops/hooi.py:126-128) —
+        # without it a mismatched warm start dies in an opaque shard_map
+        # broadcast error instead of a clear ValueError
+        if u1.shape != (n1, r1) or u2.shape != (n2, r2):
+            raise ValueError(f"init factors {u1.shape}/{u2.shape} do not "
+                             f"match modes {(n1, r1)}/{(n2, r2)}")
     else:
         key = jax.random.key(0 if seed is None else seed)
         k1, k2 = jax.random.split(key)

@@ -35,15 +35,22 @@ def plan_user_chunks(n_users: int, n_items: int,
                      scores_multiplier: int = 1,
                      itemsize: int = 4,
                      budget_gb: float | None = None,
-                     max_chunk: int | None = None) -> List[Tuple[int, int]]:
+                     max_chunk: int | None = None,
+                     n_shards: int = 1) -> List[Tuple[int, int]]:
     """Plan (start, stop) user slices whose dense score block fits the budget.
 
     ``scores_multiplier`` inflates the estimate for models whose intermediate
     scores carry an extra axis (the tensor model's feedback mode — reference
     ``models.py:214-221``).
+
+    ``n_shards`` is the mesh users-axis size: the score block is row-sharded
+    across the mesh, so the per-device budget covers ``n_shards`` times as
+    many rows (mirrors the dense-matrix budget scaling in
+    ``models/svd.py``) and chunk sizes round to shard-aligned multiples.
     """
     budget = (budget_gb if budget_gb is not None
               else get_default("hbm_score_budget_gb")) * (1024 ** 3)
+    budget *= max(int(n_shards), 1)
     row_bytes = n_items * scores_multiplier * itemsize
     chunk = int(budget // max(row_bytes, 1))
     if chunk <= 0:
@@ -53,7 +60,8 @@ def plan_user_chunks(n_users: int, n_items: int,
     chunk = min(chunk, n_users)
     if max_chunk is not None:
         chunk = min(chunk, max_chunk)
-    chunk = max(_SUBLANE, round_up(chunk, _SUBLANE) if chunk >= _SUBLANE else chunk)
+    align = _SUBLANE * max(int(n_shards), 1)
+    chunk = max(align, round_up(chunk, align) if chunk >= align else chunk)
     bounds = range_division(n_users, chunk)
     return list(zip(bounds[:-1], bounds[1:]))
 

@@ -192,3 +192,46 @@ def test_coverage():
     recs = np.array([[0, 1], [1, 2], [2, -1]])
     cov = get_experience_scores(recs, total=10)
     assert cov.coverage == pytest.approx(3 / 10)
+
+
+def test_fused_coverage_excludes_out_of_range_ids():
+    # an id >= coverage_total must be excluded, not clipped onto the last
+    # catalog item (ADVICE r2: clip would silently count item total-1)
+    recs = np.array([[0, 7], [1, -1]])   # 7 is beyond the 4-item catalog
+    holdout = pd.DataFrame({"userid": [0, 1], "movieid": [0, 1],
+                            "rating": [5, 5]})
+    got = compute_metrics(recs, holdout, "userid", "movieid",
+                          feedback="rating", coverage_total=4)
+    assert got["coverage"] == pytest.approx(2 / 4)
+
+
+def test_family_accessors_memoize_single_fused_pass(monkeypatch):
+    from polara_tpu.evaluation import metrics as m
+
+    recs = np.array([[0, 1], [2, 3]])
+    holdout = pd.DataFrame({"userid": [0, 1], "movieid": [1, 2],
+                            "rating": [5, 4]})
+    calls = {"n": 0}
+    real = m.compute_metrics
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(m, "compute_metrics", counting)
+    r1 = m.get_ranking_scores(recs, holdout, "userid", "movieid",
+                              feedback="rating")
+    r2 = m.get_relevance_scores(recs, holdout, "userid", "movieid",
+                                feedback="rating")
+    h = m.get_hits(recs, holdout, "userid", "movieid", feedback="rating")
+    assert calls["n"] == 1          # one fused pass for all three families
+    assert r1.ndcg > 0 and r2.recall > 0 and h.true_positive == 2
+
+    # different kwargs are a different computation — no stale hit
+    m.get_ranking_scores(recs, holdout, "userid", "movieid",
+                         feedback="rating", not_rated_penalty=1.0)
+    assert calls["n"] == 2
+    # a different recs object misses the memo too
+    m.get_ranking_scores(recs.copy(), holdout, "userid", "movieid",
+                         feedback="rating", not_rated_penalty=1.0)
+    assert calls["n"] == 3

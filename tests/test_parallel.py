@@ -231,3 +231,47 @@ class TestKrylovSvd:
         triplet = np.linalg.norm(av - np.asarray(res.u * res.s[None, :]),
                                  axis=0) / float(res.s[0])
         assert triplet.max() < 5e-3     # f32 floor despite bf16 basis
+
+
+def test_distributed_ials_non_divisible_geometry():
+    # ADVICE r2: the zero-padding branch (entity axes not divisible by
+    # the mesh) was never exercised — 61 users x 39 items over 8 devices
+    import numpy as np
+    import jax.numpy as jnp
+    from polara_tpu.ops.implicit import ials_train
+    from polara_tpu.parallel.distributed import distributed_ials
+    from polara_tpu.runtime.mesh import make_mesh
+
+    rs = np.random.RandomState(3)
+    n_users, n_items = 61, 39
+    dense = jnp.asarray(
+        (rs.rand(n_users, n_items) < 0.3) * rs.randint(1, 6,
+                                                       (n_users, n_items)),
+        jnp.float32)
+    mesh = make_mesh(n_devices=8, axes=("users",), shape=(8,))
+    dist = distributed_ials(dense, rank=4, mesh=mesh, num_epochs=3,
+                            seed=0, batch_rows=8)
+    single = ials_train(dense, rank=4, num_epochs=3, seed=0, batch_rows=8)
+    assert dist.user.shape == (n_users, 4)
+    assert dist.item.shape == (n_items, 4)
+    np.testing.assert_allclose(np.asarray(dist.user),
+                               np.asarray(single.user), rtol=2e-3,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dist.item),
+                               np.asarray(single.item), rtol=2e-3,
+                               atol=2e-5)
+
+
+def test_distributed_hooi_rejects_bad_init_shapes():
+    import numpy as np
+    import pytest
+    from polara_tpu.parallel.distributed import distributed_hooi
+    from polara_tpu.runtime.mesh import make_mesh
+
+    idx = np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2]])
+    val = np.ones(3)
+    mesh = make_mesh(n_devices=8, axes=("events",), shape=(8,))
+    bad = (np.zeros((7, 3)), np.zeros((5, 2)))   # wrong first-mode dims
+    with pytest.raises(ValueError, match="init factors"):
+        distributed_hooi(idx, val, (10, 8, 5), (4, 3, 2), mesh,
+                         init_factors=bad)
