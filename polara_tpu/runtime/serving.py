@@ -71,7 +71,9 @@ class ServingBundle:
 
     def __init__(self, item_factors, topk: int = 10,
                  filter_seen: bool = True, batch_size: int = 256,
-                 dtype=jnp.float32, left_panel=None):
+                 dtype=jnp.float32, left_panel=None,
+                 value_map: Optional[dict] = None,
+                 default_weight: float = 1.0):
         self.item_factors = jnp.asarray(item_factors, dtype)
         self.left_panel = (jnp.asarray(left_panel, dtype)
                            if left_panel is not None
@@ -79,6 +81,17 @@ class ServingBundle:
         self.topk = int(topk)
         self.filter_seen = bool(filter_seen)
         self.batch_size = int(batch_size)
+        # CoFFee-style collapsed scoring: raw rating -> per-level scalar
+        # weight (``models/coffee.py:142-154``); None = identity (SVD/MF
+        # raw ratings).  ``default_weight`` applies to implicit requests
+        # (bare item-id lists) — for CoFFee it is the top level's weight,
+        # matching the reference's fake-user convention
+        # (``polara/recommender/models.py:344-348`` assigns the max
+        # training feedback value).
+        self.value_map = (None if value_map is None
+                          else {float(k): float(v)
+                                for k, v in value_map.items()})
+        self.default_weight = float(default_weight)
 
     @property
     def n_items(self) -> int:
@@ -88,18 +101,36 @@ class ServingBundle:
     def from_model(cls, model, topk: Optional[int] = None,
                    **kwargs) -> "ServingBundle":
         """Bundle a trained SVD-family/MF model (anything whose scoring
-        is ``profiles @ V @ Vᵀ`` over item factors)."""
+        is ``profiles @ V @ Vᵀ`` over item factors) — or a CoFFee model,
+        whose scoring collapses to the same shape with per-rating scalar
+        weights (``models/coffee.py:142-154``)."""
         itemid = model.data.fields.itemid
+        topk = topk if topk is not None else model.topk
         left = None
         factors = model.factors.get(f"{itemid}_projector_right")
         if factors is not None:  # HybridSVD: asymmetric projectors
             left = model.factors.get(f"{itemid}_projector_left")
+        elif "core" in model.factors and hasattr(model, "flattener"):
+            # CoFFee: item panel both sides; request ratings map to the
+            # collapsed level weights alpha_f = w[f] . flatten(w)
+            params = model.score_params()
+            level_weights = np.asarray(params["level_weights"], np.float64)
+            fb_index = model.data.index.feedback
+            value_map = {float(old): float(level_weights[int(new)])
+                         for old, new in zip(fb_index["old"].values,
+                                             fb_index["new"].values)}
+            top_level = int(fb_index.loc[fb_index["old"].idxmax(), "new"])
+            return cls(params["item_panel"], topk=topk,
+                       filter_seen=model.filter_seen,
+                       value_map=value_map,
+                       default_weight=float(level_weights[top_level]),
+                       **kwargs)
         else:
             factors = model.factors.get(itemid)
         if factors is None:
             raise ValueError(f"{model.method} has no item factors; "
                              "build() first")
-        return cls(factors, topk=topk if topk is not None else model.topk,
+        return cls(factors, topk=topk,
                    filter_seen=model.filter_seen, left_panel=left,
                    **kwargs)
 
@@ -120,6 +151,8 @@ class ServingBundle:
         jax.block_until_ready(_serve_step(self.item_factors,
                                           self.left_panel, dummy,
                                           self.topk, self.filter_seen))
+        # a value map turns every request into weighted events
+        explicit_values = explicit_values or self.value_map is not None
         ids_dtype = self._wire_ids_dtype()
         lengths = jnp.zeros((self.batch_size,), jnp.int32)
         for width in event_widths:
@@ -132,6 +165,21 @@ class ServingBundle:
                 jax.block_until_ready(_serve_step_events(
                     self.item_factors, self.left_panel, ids, values,
                     lengths, self.topk, self.filter_seen))
+
+    def _map_request_values(self, values: np.ndarray) -> np.ndarray:
+        """Map raw request ratings through ``value_map`` (CoFFee level
+        weights).  Unknown ratings are rejected — they have no trained
+        feedback level (mirrors the tensor-mode mapping guard in
+        ``data/dataset.py:627-629``)."""
+        keys = np.asarray(sorted(self.value_map), np.float64)
+        weights = np.asarray([self.value_map[k] for k in keys], np.float32)
+        pos = np.clip(np.searchsorted(keys, values), 0, len(keys) - 1)
+        known = keys[pos] == values
+        if not known.all():
+            bad = np.unique(np.asarray(values)[~known])
+            raise ValueError(f"request feedback values {bad.tolist()} are "
+                             "absent from the trained feedback levels")
+        return weights[pos]
 
     def _wire_ids_dtype(self):
         """Smallest integer encoding for item ids on the request wire."""
@@ -172,6 +220,14 @@ class ServingBundle:
                 f"event item ids must lie in [0, {self.n_items}); got "
                 f"range [{flat_ids.min()}, {flat_ids.max()}] — out-of-range"
                 " ids would silently wrap in the compact wire encoding")
+
+        if self.value_map is not None and total:
+            if flat_vals is None:        # implicit requests: top-level weight
+                if self.default_weight != 1.0:
+                    flat_vals = np.full(total, self.default_weight,
+                                        np.float32)
+            else:
+                flat_vals = self._map_request_values(flat_vals)
 
         width = max(1, int(lengths.max()) if n else 1)
         width = 1 << (width - 1).bit_length()   # bucket to powers of two
@@ -225,6 +281,17 @@ class ServingBundle:
         profiles = np.asarray(profiles)
         if profiles.ndim == 1:
             profiles = profiles[None, :]
+        if self.value_map is not None:
+            # CoFFee: ratings must map to level weights AND the seen mask
+            # must key on raw interactions (a level weight can be
+            # negative) — the event path handles both, so route dense
+            # requests through it
+            rows, cols = np.nonzero(profiles)
+            split = np.searchsorted(rows, np.arange(1, profiles.shape[0]))
+            events = [dict(zip(c.tolist(), v.tolist()))
+                      for c, v in zip(np.split(cols, split),
+                                      np.split(profiles[rows, cols], split))]
+            return self.recommend_events(events)
         n = profiles.shape[0]
 
         out = np.empty((n, self.topk), dtype=np.int32)
@@ -245,16 +312,30 @@ class ServingBundle:
         factors = {"item_factors": self.item_factors}
         if self.left_panel is not self.item_factors:
             factors["left_panel"] = self.left_panel
-        save_factors(path, factors,
-                     meta={"topk": self.topk,
-                           "filter_seen": self.filter_seen,
-                           "batch_size": self.batch_size,
-                           "kind": "ServingBundle"})
+        meta = {"topk": self.topk,
+                "filter_seen": self.filter_seen,
+                "batch_size": self.batch_size,
+                "kind": "ServingBundle"}
+        if self.value_map is not None:
+            keys = sorted(self.value_map)
+            factors["value_map_keys"] = jnp.asarray(keys, jnp.float64)
+            factors["value_map_weights"] = jnp.asarray(
+                [self.value_map[k] for k in keys], jnp.float64)
+            meta["default_weight"] = self.default_weight
+        save_factors(path, factors, meta)
 
     @classmethod
     def load(cls, path: str) -> "ServingBundle":
         factors, meta = load_factors(path)
+        value_map = None
+        if "value_map_keys" in factors:
+            value_map = dict(zip(np.asarray(factors["value_map_keys"],
+                                            np.float64).tolist(),
+                                 np.asarray(factors["value_map_weights"],
+                                            np.float64).tolist()))
         return cls(factors["item_factors"], topk=meta["topk"],
                    filter_seen=meta["filter_seen"],
                    batch_size=meta["batch_size"],
-                   left_panel=factors.get("left_panel"))
+                   left_panel=factors.get("left_panel"),
+                   value_map=value_map,
+                   default_weight=float(meta.get("default_weight", 1.0)))
