@@ -331,14 +331,17 @@ class RecommenderModel:
         mesh = self.active_mesh
         mode = defaults.get_default("pallas_scoring")
         usable = (self._fused_scoring_capable() and self.topk <= 128
-                  and "item_panel" in params and mesh is None)
+                  and "item_panel" in params)
         on_tpu = jax.default_backend() == "tpu"
         if usable and (mode is True or (mode == "auto" and on_tpu)):
+            # under a mesh the kernel runs per user-shard via shard_map —
+            # the streaming VMEM path scales with the mesh instead of
+            # degrading to the XLA fallback
             return run_scoring_fused(
                 plan, type(self).proj_chunk, params, topk=self.topk,
                 filter_seen=self.filter_seen, n_valid_cols=plan.n_items,
                 interpret=not on_tpu,
-                device=self._scoring_device_output)
+                device=self._scoring_device_output, mesh=mesh)
         return run_scoring(plan, type(self).score_chunk, params,
                            topk=self.topk, filter_seen=self.filter_seen,
                            n_valid_cols=plan.n_items, mesh=mesh,

@@ -222,25 +222,42 @@ def run_scores_only(data: ChunkedTestData, score_fn: ScoreFn,
 def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
                       topk: int, filter_seen: bool = True,
                       n_valid_cols: Optional[int] = None,
-                      interpret: bool = False, device: bool = False):
+                      interpret: bool = False, device: bool = False,
+                      mesh=None):
     """Like :func:`run_scoring` but through the fused Pallas kernel.
 
     ``proj_fn(params, chunk) -> (chunk_users, r)`` produces the user-side
     panel; ``params["item_panel"]`` is the (n_items, r) item-side panel.
+
+    With ``mesh`` set, the kernel runs per user-shard under ``shard_map``
+    (proj rows and seen-bit rows shard over the first mesh axis, the item
+    panel replicates) — users are embarrassingly parallel, so the fused
+    streaming kernel survives multi-chip scaling instead of falling back
+    to the HBM-round-tripping XLA path.
     """
     from polara_tpu.ops.pallas import fused_score_topk
 
     panel = params["item_panel"]
     n_valid = n_valid_cols if n_valid_cols is not None else panel.shape[0]
     proj_jit = compiled_proj(proj_fn)
+    if mesh is not None:
+        step = _fused_mesh_step(mesh, topk, filter_seen, n_valid, interpret)
+        n_dev = mesh.shape[mesh.axis_names[0]]
     parts = []
     for c, chunk in enumerate(data.chunks):
         proj = proj_jit(params, chunk)
         seen_bits = data.seen_bits(c, panel.shape[0])
-        recs = fused_score_topk(proj, panel, seen_bits, topk,
-                                filter_seen=filter_seen,
-                                n_valid_cols=n_valid,
-                                interpret=interpret)
+        if mesh is None:
+            recs = fused_score_topk(proj, panel, seen_bits, topk,
+                                    filter_seen=filter_seen,
+                                    n_valid_cols=n_valid,
+                                    interpret=interpret)
+        else:
+            pad = (-proj.shape[0]) % n_dev
+            if pad:
+                proj = jnp.pad(proj, ((0, pad), (0, 0)))
+                seen_bits = jnp.pad(seen_bits, ((0, pad), (0, 0)))
+            recs = step(proj, panel, seen_bits)
         start = c * data.chunk_users
         stop = min(start + data.chunk_users, data.n_users)
         part = recs[: stop - start]
@@ -248,6 +265,34 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
     if device:
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
     return np.concatenate(parts, axis=0)
+
+
+def _fused_mesh_step(mesh, topk: int, filter_seen: bool, n_valid: int,
+                     interpret: bool):
+    """shard_map'd fused kernel over the mesh users axis, memoized like
+    :func:`compiled_step` (one executable per configuration)."""
+    key = ("fused_mesh", mesh, topk, filter_seen, n_valid, interpret)
+    step = _step_cache.get(key)
+    if step is None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from polara_tpu.ops.pallas import fused_score_topk
+
+        users_axis = mesh.axis_names[0]
+
+        def local_step(proj, panel, seen_bits):
+            return fused_score_topk(proj, panel, seen_bits, topk,
+                                    filter_seen=filter_seen,
+                                    n_valid_cols=n_valid,
+                                    interpret=interpret)
+
+        step = jax.jit(shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(users_axis, None), P(), P(users_axis, None)),
+            out_specs=P(users_axis, None), check_vma=False))
+        _step_cache[key] = step
+    return step
 
 
 def compiled_proj(proj_fn: ScoreFn):
