@@ -202,3 +202,71 @@ def test_power_operator_shape_mismatch_rejected():
         randomized_svd(jnp.asarray(a), 5,
                        power_operator=dense_power_operator(
                            jnp.asarray(wrong)))
+
+
+def test_f32_factors_metric_equivalent_to_exact_f64():
+    """North-star closure at test scale (bench.py runs the same study at
+    ML-10M): the f32 rsvd floor must not change end metrics — HR/NDCG of
+    f32 factors vs an exact f64 ARPACK factorization agree and the top-10
+    lists overlap almost entirely."""
+    import numpy as np
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import svds
+
+    import jax.numpy as jnp
+    from polara_tpu.datasets.synthetic import make_realistic_coo
+    from polara_tpu.ops.rsvd import randomized_svd
+    from polara_tpu.ops.sparse import dense_from_coo
+    from polara_tpu.ops.topk import mask_and_topk
+
+    n_users, n_items, k, topk = 1200, 700, 25, 10
+    rows, cols, vals = make_realistic_coo(n_users, n_items, 60_000, seed=3)
+
+    # one held-out event per user (same split rule as bench.py)
+    uniq, start, counts = np.unique(rows, return_index=True,
+                                    return_counts=True)
+    rs = np.random.RandomState(7)
+    pick = start + (rs.rand(len(uniq)) * counts).astype(np.int64)
+    hold_items = cols[pick]
+    keep = np.ones(len(rows), bool)
+    keep[pick] = False
+
+    dense_train = dense_from_coo(
+        np.stack([rows[keep], cols[keep]], 1), vals[keep],
+        (n_users, n_items), dtype=jnp.float32)
+
+    f32 = randomized_svd(dense_train, k, n_iter=10, seed=0,
+                         dtype=jnp.float32)
+    matrix = sp.csr_matrix((vals[keep].astype(np.float64),
+                            (rows[keep], cols[keep])),
+                           shape=(n_users, n_items))
+    _, s, vt = svds(matrix, k=k,
+                    v0=np.random.RandomState(0).randn(n_items))
+    v_exact = vt[np.argsort(s)[::-1]].T.copy()
+
+    seen_r = jnp.asarray(rows[keep], jnp.int32)
+    seen_c = jnp.asarray(cols[keep], jnp.int32)
+    valid = jnp.ones(int(keep.sum()), bool)
+
+    def recs_for(v_panel):
+        scores = (dense_train @ v_panel) @ v_panel.T
+        return np.asarray(mask_and_topk(scores, seen_r, seen_c, valid,
+                                        topk, filter_seen=True,
+                                        n_valid_cols=n_items))
+
+    def hr_ndcg(recs):
+        hit = recs == hold_items[:, None]
+        found = hit.any(1)
+        rank = np.where(found, hit.argmax(1) + 1, 1)
+        return (float(found.mean()),
+                float(np.where(found, 1 / np.log2(1 + rank), 0).mean()))
+
+    recs_f32 = recs_for(f32.v)
+    recs_ex = recs_for(jnp.asarray(v_exact, jnp.float32))
+    hr_a, ndcg_a = hr_ndcg(recs_f32)
+    hr_b, ndcg_b = hr_ndcg(recs_ex)
+    overlap = float(np.mean([len(set(a) & set(b)) / topk
+                             for a, b in zip(recs_f32, recs_ex)]))
+    assert overlap > 0.9, overlap
+    assert abs(hr_a - hr_b) < 0.01, (hr_a, hr_b)
+    assert abs(ndcg_a - ndcg_b) < 0.01, (ndcg_a, ndcg_b)
