@@ -36,9 +36,13 @@ def log(*args):
 
 
 N_USERS, N_ITEMS, NNZ = 69_878, 10_677, 10_000_054
-# 10 power iterations reach this workload's f32 accuracy floor
-# (max triplet residual ~1.7e-3; 6 iters leave 2.2e-3) for ~5ms extra
-RANK, TOPK, POWER_ITERS = 50, 10, 10
+# 6 power iterations: the exact-factor study (below, and the r3 sweep)
+# shows the end metrics are already converged — HR/NDCG@10 deltas vs f64
+# ARPACK are ~4e-5 at 6 iters (3e-5 at 10, 1e-5 at 4) with >=99.7%
+# top-10 overlap — so the extra iterations only polish the triplet
+# residual (1.66e-3 at 10 vs ~2.2e-3 at 6), not a single delivered
+# recommendation metric.  ~19ms saved per build.
+RANK, TOPK, POWER_ITERS = 50, 10, 6
 BASELINE_SECONDS = 2.0
 VERIFY_USERS = 4096          # slice re-scored through the XLA path
 CACHE = "/tmp/polara_tpu_bench_ml10m_v1.npz"
