@@ -55,6 +55,10 @@ _DEFAULTS: Dict[str, Any] = dict(
     # factor models when topk <= 128; True forces (interpret on CPU);
     # False always uses the XLA path
     pallas_scoring="auto",
+    # top-k merge strategy inside the fused kernel: "chain" (k-step
+    # max/minpos selection over the carry++tile concat) or "fold"
+    # (per-lane chunk fold, one tile traversal per extraction)
+    pallas_select="chain",
 )
 
 

@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from polara_tpu import config as defaults
 from polara_tpu.ops.topk import mask_and_topk
 from polara_tpu.runtime.memory import plan_user_chunks
 
@@ -223,7 +224,7 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
                       topk: int, filter_seen: bool = True,
                       n_valid_cols: Optional[int] = None,
                       interpret: bool = False, device: bool = False,
-                      mesh=None):
+                      mesh=None, select: Optional[str] = None):
     """Like :func:`run_scoring` but through the fused Pallas kernel.
 
     ``proj_fn(params, chunk) -> (chunk_users, r)`` produces the user-side
@@ -237,11 +238,14 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
     """
     from polara_tpu.ops.pallas import fused_score_topk
 
+    if select is None:
+        select = defaults.get_default("pallas_select")
     panel = params["item_panel"]
     n_valid = n_valid_cols if n_valid_cols is not None else panel.shape[0]
     proj_jit = compiled_proj(proj_fn)
     if mesh is not None:
-        step = _fused_mesh_step(mesh, topk, filter_seen, n_valid, interpret)
+        step = _fused_mesh_step(mesh, topk, filter_seen, n_valid, interpret,
+                                select)
         n_dev = mesh.shape[mesh.axis_names[0]]
     parts = []
     for c, chunk in enumerate(data.chunks):
@@ -251,7 +255,7 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
             recs = fused_score_topk(proj, panel, seen_bits, topk,
                                     filter_seen=filter_seen,
                                     n_valid_cols=n_valid,
-                                    interpret=interpret)
+                                    interpret=interpret, select=select)
         else:
             pad = (-proj.shape[0]) % n_dev
             if pad:
@@ -268,10 +272,11 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
 
 
 def _fused_mesh_step(mesh, topk: int, filter_seen: bool, n_valid: int,
-                     interpret: bool):
+                     interpret: bool, select: str = "chain"):
     """shard_map'd fused kernel over the mesh users axis, memoized like
     :func:`compiled_step` (one executable per configuration)."""
-    key = ("fused_mesh", mesh, topk, filter_seen, n_valid, interpret)
+    key = ("fused_mesh", mesh, topk, filter_seen, n_valid, interpret,
+           select)
     step = _step_cache.get(key)
     if step is None:
         from jax import shard_map
@@ -285,7 +290,7 @@ def _fused_mesh_step(mesh, topk: int, filter_seen: bool, n_valid: int,
             return fused_score_topk(proj, panel, seen_bits, topk,
                                     filter_seen=filter_seen,
                                     n_valid_cols=n_valid,
-                                    interpret=interpret)
+                                    interpret=interpret, select=select)
 
         step = jax.jit(shard_map(
             local_step, mesh=mesh,
