@@ -202,7 +202,7 @@ def main():
     # TPU f32 factors and an exact f64 ARPACK factorization (the
     # reference's solver, ``polara/recommender/models.py:844``) of the
     # SAME held-out split, both scored through the SAME device path.
-    exact = exact_factor_study(dense, rows, cols, use_fused,
+    exact = exact_factor_study(dense, rows, cols, vals, use_fused,
                                plan, score_fn)
 
     print(json.dumps({
@@ -251,7 +251,7 @@ def _exact_reference_v(rows, cols, vals, hold_mask):
     return v, s
 
 
-def exact_factor_study(dense, rows, cols, use_fused, plan, score_fn):
+def exact_factor_study(dense, rows, cols, vals, use_fused, plan, score_fn):
     import jax
     import jax.numpy as jnp
 
@@ -262,9 +262,10 @@ def exact_factor_study(dense, rows, cols, use_fused, plan, score_fn):
     # dense ratings of the TRAIN split: zero the held-out entries
     dense_train = dense.at[jnp.asarray(hold_users),
                            jnp.asarray(hold_items)].set(0.0)
-    data = np.load(CACHE)
-    v_exact, s_exact = _exact_reference_v(rows, cols, data["vals"],
-                                          hold_mask)
+    # vals comes from main()'s workload arrays — re-reading the cache
+    # file here would crash when the cache write failed (tolerated by
+    # load_or_make_benchmark_coo)
+    v_exact, s_exact = _exact_reference_v(rows, cols, vals, hold_mask)
 
     result = randomized_svd(dense_train, RANK, n_iter=POWER_ITERS, seed=0,
                             dtype=jnp.float32,

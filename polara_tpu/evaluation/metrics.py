@@ -276,11 +276,20 @@ def convert_scores_to_series(metrics, name: str = "scores") -> pd.Series:
 _family_memo: dict = {}
 
 
+def _memo_token(v):
+    """Hash/compare-safe token: plain scalars by value, everything else
+    (pandas Series, lists, arrays) by identity — an object whose ``==``
+    is elementwise would make the memo-key comparison raise."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return id(v)
+
+
 def _family(recommendations, holdout, key, target, **kwargs):
     arrays = {k: v for k, v in kwargs.items()
               if isinstance(v, (np.ndarray, jax.Array))}
-    scalars = tuple(sorted((k, v) for k, v in kwargs.items()
-                           if k not in arrays))
+    others = {k: v for k, v in kwargs.items() if k not in arrays}
+    scalars = tuple(sorted((k, _memo_token(v)) for k, v in others.items()))
     memo_key = ((id(recommendations), id(holdout))
                 + tuple(id(v) for _, v in sorted(arrays.items())),
                 key, target, tuple(sorted(arrays)), scalars)
@@ -289,7 +298,8 @@ def _family(recommendations, holdout, key, target, **kwargs):
     value = compute_metrics(recommendations, holdout, key, target, **kwargs)
     _family_memo.update(
         key=memo_key, value=value,
-        refs=(recommendations, holdout, tuple(arrays.values())))
+        refs=(recommendations, holdout, tuple(arrays.values()),
+              tuple(others.values())))
     return value
 
 

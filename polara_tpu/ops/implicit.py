@@ -191,14 +191,20 @@ def bpr_train(rows: np.ndarray, cols: np.ndarray, shape, rank: int,
     item_factors = jax.random.normal(ki, (n_items, rank), dtype) * scale
 
     n_steps = max(1, -(-len(rows) // batch_size))
+    pending_aucs = [] if epoch_stats is not None else None
     for epoch in range(num_epochs):
         key, key_epoch = jax.random.split(key)
         user_factors, item_factors, auc = _bpr_epoch(
             user_factors, item_factors, seen, rows_d, cols_d, key_epoch,
             n_steps=n_steps, batch_size=batch_size, lr=learning_rate,
             reg=reg)
-        if epoch_stats is not None:
-            epoch_stats.append(float(auc))
         if verbose:
             print(f"BPR epoch {epoch + 1}: batch AUC {float(auc):.4f}")
+        if pending_aucs is not None:
+            pending_aucs.append(auc)   # device scalar: no per-epoch sync
+    if pending_aucs:
+        # one stacked transfer for the whole history — a per-epoch
+        # float() costs a full tunnel RTT each (CLAUDE.md sync discipline)
+        epoch_stats.extend(
+            np.asarray(jnp.stack(pending_aucs)).astype(float).tolist())
     return ImplicitFactors(user=user_factors, item=item_factors)

@@ -245,6 +245,10 @@ def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
 
     if select not in ("chain", "fold"):
         raise ValueError(f"unknown select mode {select!r}")
+    if select == "fold" and tile_n % 128:
+        raise ValueError("fold select needs tile_n to be a multiple of "
+                         f"128 (got {tile_n}); lanes beyond the last full "
+                         "chunk would be silently dropped")
     kernel = functools.partial(
         _score_topk_kernel, k=k, tile_n=tile_n, n_items=n_valid,
         filter_seen=filter_seen, interpret=interpret, select=select)

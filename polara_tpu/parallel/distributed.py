@@ -396,18 +396,26 @@ def distributed_bpr(rows: np.ndarray, cols: np.ndarray, shape, rank: int,
         # per-step all_gathered gradient scalars
         comm_bytes = int(n_steps * 2 * batch_size * itemsize)
     epochs_log = [] if train_stats is not None else None
+    pending_aucs = [] if epoch_stats is not None else None
     for _ in range(num_epochs):
         key, key_epoch = jax.random.split(key)
         start = time.perf_counter()
         user_factors, item_factors, auc = epoch(
             user_factors, item_factors, seen, rows_d, cols_d, key_epoch)
-        auc = float(auc)         # sync point: epoch really finished
         if epochs_log is not None:
+            # per-epoch sync ONLY for the wall-time log (dryrun scaling
+            # study); plain epoch_stats defers to one stacked transfer
+            # below — a per-epoch float() costs a full tunnel RTT each
+            auc = float(auc)
             epochs_log.append({"auc": auc,
                                "wall_s": time.perf_counter() - start,
                                "comm_bytes": comm_bytes})
-        if epoch_stats is not None:
-            epoch_stats.append(auc)
+        if pending_aucs is not None:
+            pending_aucs.append(auc)
+    if pending_aucs:
+        synced = np.asarray(jnp.stack(
+            [jnp.asarray(a, jnp.float32) for a in pending_aucs]))
+        epoch_stats.extend(synced.astype(float).tolist())
     if train_stats is not None:
         train_stats.update(mode=update_mode, n_devices=n_dev,
                            steps_per_epoch=n_steps, epochs=epochs_log)

@@ -171,8 +171,13 @@ class ServingBundle:
         weights).  Unknown ratings are rejected — they have no trained
         feedback level (mirrors the tensor-mode mapping guard in
         ``data/dataset.py:627-629``)."""
-        keys = np.asarray(sorted(self.value_map), np.float64)
-        weights = np.asarray([self.value_map[k] for k in keys], np.float32)
+        # match in the wire dtype (f32): request values are f32-quantized
+        # on assembly, so comparing against f64 keys would reject levels
+        # not exactly representable in f32 (e.g. 0.1)
+        keys = np.asarray(sorted(self.value_map), np.float32)
+        weights = np.asarray([self.value_map[k]
+                              for k in sorted(self.value_map)], np.float32)
+        values = np.asarray(values, np.float32)
         pos = np.clip(np.searchsorted(keys, values), 0, len(keys) - 1)
         known = keys[pos] == values
         if not known.all():
@@ -209,7 +214,11 @@ class ServingBundle:
                     e.values() if isinstance(e, dict)
                     else repeat(1.0, len(e)) for e in events),
                 np.float32, total)
-            if (flat_vals == 1.0).all():
+            # all-unit-weight collapse is an optimization for the plain
+            # factor path only: under a value_map a literal rating of 1.0
+            # must still map through its trained level weight, NOT the
+            # implicit default (the top level's weight)
+            if self.value_map is None and (flat_vals == 1.0).all():
                 flat_vals = None
         else:
             flat_vals = None    # item-id lists: implicit unit weights
@@ -227,7 +236,19 @@ class ServingBundle:
                     flat_vals = np.full(total, self.default_weight,
                                         np.float32)
             else:
-                flat_vals = self._map_request_values(flat_vals)
+                # mixed batches: only dict events carry real ratings;
+                # item-id lists are implicit and take default_weight,
+                # never the 1.0-level weight (1.0 may not even be a
+                # trained level)
+                explicit = np.fromiter(
+                    chain.from_iterable(
+                        repeat(isinstance(e, dict), len(e))
+                        for e in events), bool, total)
+                mapped = np.full(total, self.default_weight, np.float32)
+                if explicit.any():
+                    mapped[explicit] = self._map_request_values(
+                        flat_vals[explicit])
+                flat_vals = mapped
 
         width = max(1, int(lengths.max()) if n else 1)
         width = 1 << (width - 1).bit_length()   # bucket to powers of two
@@ -318,9 +339,12 @@ class ServingBundle:
                 "kind": "ServingBundle"}
         if self.value_map is not None:
             keys = sorted(self.value_map)
-            factors["value_map_keys"] = jnp.asarray(keys, jnp.float64)
-            factors["value_map_weights"] = jnp.asarray(
-                [self.value_map[k] for k in keys], jnp.float64)
+            # host numpy, NOT jnp: with jax x64 disabled (the serving
+            # default) a jnp.float64 request silently becomes f32 and a
+            # save/load round-trip would change the accepted rating keys
+            factors["value_map_keys"] = np.asarray(keys, np.float64)
+            factors["value_map_weights"] = np.asarray(
+                [self.value_map[k] for k in keys], np.float64)
             meta["default_weight"] = self.default_weight
         save_factors(path, factors, meta)
 

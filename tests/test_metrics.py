@@ -235,3 +235,20 @@ def test_family_accessors_memoize_single_fused_pass(monkeypatch):
     m.get_ranking_scores(recs.copy(), holdout, "userid", "movieid",
                          feedback="rating", not_rated_penalty=1.0)
     assert calls["n"] == 3
+
+
+def test_family_accessors_accept_series_kwargs():
+    """A pandas Series kwarg (elementwise ``==``) must not break the
+    memo-key comparison on the second call (round-3 review finding)."""
+    from polara_tpu.evaluation import metrics as m
+
+    recs = np.array([[0, 1], [2, 3]])
+    holdout = pd.DataFrame({"userid": [0, 1], "movieid": [1, 2],
+                            "rating": [5, 2]})
+    first = m.get_ranking_scores(
+        recs, holdout, "userid", "movieid", feedback="rating",
+        is_positive=(holdout["rating"] >= 4))
+    second = m.get_ranking_scores(
+        recs, holdout, "userid", "movieid", feedback="rating",
+        is_positive=(holdout["rating"] >= 4))   # fresh Series object
+    assert first.ndcg == second.ndcg and first.map == second.map

@@ -220,3 +220,11 @@ def test_kernel_fold_multi_tile_small_tiles():
         jnp.ones(len(rows), bool), 10, filter_seen=True,
         n_valid_cols=700))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_kernel_fold_tile_guard():
+    proj, items, _, _ = _random_case(30)
+    bits = jnp.zeros((proj.shape[0], 32), jnp.uint32)
+    with pytest.raises(ValueError, match="multiple of"):
+        fused_score_topk(proj, items, bits, 5, tile_n=192,
+                         select="fold", interpret=INTERP)

@@ -289,3 +289,74 @@ def test_coffee_bundle_rejects_unknown_rating(trained_coffee):
     bundle = ServingBundle.from_model(trained_coffee, topk=4, batch_size=8)
     with pytest.raises(ValueError, match="absent from the trained"):
         bundle.recommend_events([{1: 99.0}])
+
+
+# --------------------------------------------------------------------------
+# value-map semantics regressions (round-3 review findings)
+# --------------------------------------------------------------------------
+
+def _manual_event_topk(factors, events_weights, topk):
+    """Numpy oracle for the event path: score = sum_e w_e * F[e] @ F.T,
+    seen events masked to -inf."""
+    out = []
+    for ev in events_weights:
+        proj = sum(w * np.asarray(factors)[i] for i, w in ev.items())
+        scores = proj @ np.asarray(factors).T
+        for i in ev:
+            scores[i] = -np.inf
+        out.append(np.argsort(-scores, kind="stable")[:topk])
+    return np.asarray(out, np.int32)
+
+
+@pytest.fixture(scope="module")
+def vm_bundle_factors():
+    rs = np.random.RandomState(11)
+    return rs.randn(40, 6).astype(np.float32)
+
+
+def test_value_map_explicit_low_rating_not_collapsed(vm_bundle_factors):
+    """An explicit 1.0 rating under a value_map must use the 1.0-level
+    weight (here negative), never the implicit default (top level)."""
+    factors = vm_bundle_factors
+    bundle = ServingBundle(factors, topk=5, batch_size=4,
+                           value_map={1.0: -2.0, 5.0: 3.0},
+                           default_weight=3.0)
+    got = bundle.recommend_events([{7: 1.0}])
+    want = _manual_event_topk(factors, [{7: -2.0}], 5)
+    np.testing.assert_array_equal(got, want)
+    # and the implicit form of the same item uses the default weight
+    got_impl = bundle.recommend_events([[7]])
+    want_impl = _manual_event_topk(factors, [{7: 3.0}], 5)
+    np.testing.assert_array_equal(got_impl, want_impl)
+
+
+def test_value_map_mixed_dict_and_list_requests(vm_bundle_factors):
+    """Item-id lists in a mixed batch are implicit: they take
+    default_weight even when 1.0 is not a trained level."""
+    factors = vm_bundle_factors
+    bundle = ServingBundle(factors, topk=5, batch_size=4,
+                           value_map={2.0: -1.0, 5.0: 2.5},
+                           default_weight=2.5)
+    got = bundle.recommend_events([{3: 2.0}, [8, 9]])
+    want = _manual_event_topk(
+        factors, [{3: -1.0}, {8: 2.5, 9: 2.5}], 5)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_value_map_f32_inexact_levels_roundtrip(vm_bundle_factors,
+                                                tmp_path):
+    """Levels not exactly representable in f32 (0.1) must match request
+    values (f32 wire) and survive a save/load round-trip."""
+    factors = vm_bundle_factors
+    bundle = ServingBundle(factors, topk=4, batch_size=4,
+                           value_map={0.1: 2.0, 0.2: -1.0},
+                           default_weight=2.0)
+    got = bundle.recommend_events([{5: 0.1, 6: 0.2}])
+    want = _manual_event_topk(factors, [{5: 2.0, 6: -1.0}], 4)
+    np.testing.assert_array_equal(got, want)
+
+    path = str(tmp_path / "vm_bundle.npz")
+    bundle.save(path)
+    restored = ServingBundle.load(path)
+    np.testing.assert_array_equal(
+        restored.recommend_events([{5: 0.1, 6: 0.2}]), got)
