@@ -156,6 +156,9 @@ def main():
     }
 
     if os.environ.get("ML10M_IDENTITY", "1") != "0":
+        # the identity stage is host-bound and slow; keep the CV table
+        # recoverable from the log if it dies mid-flight
+        log("cv-table (pre-identity): " + json.dumps(payload))
         payload["svd_identity_fold1"] = identity_check(events)
 
     print(json.dumps(payload))
