@@ -165,6 +165,11 @@ def find_optimal_svd_rank(model, ranks: Sequence[int], target_metric,
         if protect_factors:
             model._rank = top_rank
             model.factors = saved_factors
+            # resync derived state with the restored full-rank factors:
+            # subclasses keep rank-dependent caches (cold-start pinv-gram,
+            # hybrid projector slices) that the per-rank loop left at the
+            # last swept rank
+            model._check_reduced_rank(top_rank)
         model.verbose = model_verbose
 
     scores = pd.Series(results)

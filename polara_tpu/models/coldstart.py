@@ -183,7 +183,11 @@ class ItemColdStartSVDModelMixin:
         if mapping is None:
             self._transform_invgram = None
         elif (self._transform_invgram is not None
-              and self._transform_invgram.shape[0] > mapping.shape[1]):
+              and self._transform_invgram.shape[0] != mapping.shape[1]):
+            # any mismatch, not just shrinkage: a sweep can leave a low-rank
+            # invgram behind and the user may then *raise* the rank back
+            # within the cached factors' width (truncation keeps factors
+            # wide enough, but the gram inverse was built at the old rank)
             self.update_item_features_transform()
 
     def encode_item_features(self):

@@ -214,3 +214,32 @@ def test_small_candidate_pool_pads_to_topk(cold_data):
     recs = mp.recommendations
     assert recs.shape == (n_cold, 10)
     assert (recs[:, 4:] == -1).all()
+
+
+def test_rank_sweep_resyncs_feature_transform(cold_data):
+    """Regression: a rank sweep on a cold-start model must not leave the
+    pinv-gram feature transform at the last swept rank.  After the sweep
+    restores full-rank factors, evaluating at ANY rank (including the top
+    rank, where the rank setter short-circuits) has to resync
+    ``_transform_invgram``."""
+    from polara_tpu.evaluation.pipelines import find_optimal_svd_rank
+
+    model = SVDModelItemColdStart(cold_data)
+    model.verbose = False
+    best_rank, scores = find_optimal_svd_rank(
+        model, [4, 8, 12], "precision", return_scores=True)
+    assert len(scores) == 3
+
+    # top rank: setter short-circuits (rank already 12 post-restore)
+    model.rank = 12
+    model._recommendations = None
+    rel_top = model.evaluate("relevance")
+    assert model._transform_invgram.shape[0] \
+        == model.item_features_embeddings.shape[1]
+
+    # intermediate rank: wider than the last swept rank (4)
+    model.rank = 8
+    model._recommendations = None
+    rel_mid = model.evaluate("relevance")
+    assert model._transform_invgram.shape[0] == 8
+    assert np.isfinite(rel_top.precision) and np.isfinite(rel_mid.precision)
