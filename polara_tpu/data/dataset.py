@@ -248,6 +248,10 @@ class RecommenderData:
             if self._custom_order:
                 fields.append(self._custom_order)
             self._training = self._data.loc[train_split, fields]
+            # device-resident training blocks are shared across all
+            # models of this data instance (models/base.py
+            # get_training_matrix) — drop them with the training frame
+            self.__dict__.setdefault("_device_matrix_cache", {}).clear()
             self._notify(self.on_change_event)
         elif rule.test_update:
             self._notify(self.on_update_event)

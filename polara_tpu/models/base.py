@@ -73,7 +73,6 @@ class RecommenderModel:
         self._test_plan: Optional[ChunkedTestData] = None
         self._scoring_device_output = False
         self._test_users: Optional[np.ndarray] = None
-        self._training_matrix_cache: dict = {}
         self.method = "ABC"
 
         self._topk = defaults.get_default("topk")
@@ -133,7 +132,6 @@ class RecommenderModel:
     def _renew_model(self):
         self._recommendations = None
         self._test_plan = None
-        self._training_matrix_cache = {}
         self._is_ready = False
 
     def _refresh_model(self):
@@ -196,11 +194,16 @@ class RecommenderModel:
 
         Cached per configuration until the next training-data change —
         rebuild loops (rank sweeps, epochs restarts) must not re-pay the
-        host→HBM ingestion."""
+        host→HBM ingestion.  The cache lives on the *data* object so
+        every model sharing a data instance shares one HBM copy (at
+        ML-10M the dense block is ~3 GB; per-model caches put a 3-model
+        CV run out of memory), invalidated when the training frame
+        changes."""
         threshold = feedback_threshold or self.feedback_threshold
         dtype = dtype or self.compute_dtype
         cache_key = (threshold, ignore_feedback, dense, jnp.dtype(dtype))
-        cached = self._training_matrix_cache.get(cache_key)
+        cache = self.data.__dict__.setdefault("_device_matrix_cache", {})
+        cached = cache.get(cache_key)
         if cached is not None:
             return cached
 
@@ -212,7 +215,7 @@ class RecommenderModel:
             matrix = dense_from_coo(idx, val, shp, dtype=dtype)
         else:
             matrix = coo_from_arrays(idx, val, shp, dtype=dtype)
-        self._training_matrix_cache[cache_key] = matrix
+        cache[cache_key] = matrix
         return matrix
 
     def get_test_matrix(self, user_slice: Optional[Tuple[int, int]] = None):

@@ -105,13 +105,14 @@ class CoffeeModel(RecommenderModel):
         dense_tensor = None
         if (not self.show_output and self.active_mesh is None
                 and int(np.prod(shp)) * itemsize <= budget):
-            dense_tensor = self._training_matrix_cache.get("coffee_tensor")
+            cache = self.data.__dict__.setdefault("_device_matrix_cache", {})
+            dense_tensor = cache.get("coffee_tensor")
             if dense_tensor is None or dense_tensor.shape != tuple(shp):
                 from polara_tpu.ops.sparse import dense_from_coo
                 dense_tensor = dense_from_coo(
                     np.asarray(idx), np.asarray(val, np.float64), shp,
                     dtype=self.compute_dtype)
-                self._training_matrix_cache["coffee_tensor"] = dense_tensor
+                cache["coffee_tensor"] = dense_tensor
 
         mesh = self.active_mesh
         with track_time(self.training_time, verbose=self.verbose,

@@ -79,6 +79,7 @@ class SVDModel(RecommenderModel):
               return_factors: str = "vh"):
         mesh = self.active_mesh
         power_op = None
+        true_rows = None
         if operator is not None:
             svd_matrix = operator
         else:
@@ -98,29 +99,45 @@ class SVDModel(RecommenderModel):
             dense_bytes = n_rows * n_cols * jnp.dtype(self.compute_dtype).itemsize
             if dense_bytes <= budget:
                 from polara_tpu.ops.sparse import dense_operator
-                key = ("svd_dense", mesh) + self._scaling_signature()
-                dense = self._training_matrix_cache.get(key)
+                cache = self.data.__dict__.setdefault(
+                    "_device_matrix_cache", {})
+                if self._scaling_signature() == () and mesh is None:
+                    # unscaled single-device block == the plain dense
+                    # training matrix — share ONE HBM copy with every
+                    # other model on this data (iALS, similarity, ...)
+                    key = None
+                    dense = self.get_training_matrix(dense=True)
+                else:
+                    key = ("svd_dense", mesh) + self._scaling_signature()
+                    dense = cache.get(key)
                 if dense is None:
-                    for stale in [k for k in self._training_matrix_cache
+                    for stale in [k for k in cache
                                   if isinstance(k, tuple)
                                   and k and k[0] == "svd_dense"]:
-                        del self._training_matrix_cache[stale]
+                        del cache[stale]
                     dense = matrix.to_dense()
                     if mesh is not None:
                         # rows over the users axis; GSPMD turns the Gram
-                        # products inside CholeskyQR2 into b×b psums
-                        from polara_tpu.runtime.mesh import user_sharding
-                        dense = jax.device_put(dense, user_sharding(mesh))
-                    self._training_matrix_cache[key] = dense
+                        # products inside CholeskyQR2 into b×b psums.
+                        # shard_rows zero-pads rows to a multiple of the
+                        # mesh axis — zero rows leave AᵀA (hence s, V)
+                        # unchanged and surface as zero rows of the left
+                        # panel, sliced back off after the solve.
+                        from polara_tpu.runtime.mesh import shard_rows
+                        dense = shard_rows(dense, mesh)
+                    cache[key] = dense
+                if mesh is not None:
+                    true_rows = n_rows
                 svd_matrix = dense_operator(dense)
                 if self.svd_power_dtype is not None:
                     from polara_tpu.ops.sparse import dense_power_operator
-                    lo_key = key + ("power", str(self.svd_power_dtype))
-                    power_op = self._training_matrix_cache.get(lo_key)
+                    lo_key = (key or ("svd_dense", mesh)) \
+                        + ("power", str(self.svd_power_dtype))
+                    power_op = cache.get(lo_key)
                     if power_op is None:
                         power_op = dense_power_operator(
                             dense, jnp.dtype(self.svd_power_dtype))
-                        self._training_matrix_cache[lo_key] = power_op
+                        cache[lo_key] = power_op
             else:
                 svd_matrix = matrix.operator()
 
@@ -147,7 +164,10 @@ class SVDModel(RecommenderModel):
             result = jax.block_until_ready(result)
 
         userid, itemid, _ = self.data.fields
-        self.factors[userid] = result.u if "u" in return_factors else None
+        u = result.u if "u" in return_factors else None
+        if u is not None and true_rows is not None and u.shape[0] != true_rows:
+            u = u[:true_rows]
+        self.factors[userid] = u
         self.factors[itemid] = result.v
         self.factors["singular_values"] = result.s
 

@@ -295,7 +295,7 @@ def test_scaled_svd_dense_cache_tracks_scaling():
     np.testing.assert_allclose(np.asarray(model.factors["singular_values"]),
                                s_04, rtol=1e-5)
     # only one dense block retained at a time
-    dense_keys = [k for k in model._training_matrix_cache
+    dense_keys = [k for k in data._device_matrix_cache
                   if isinstance(k, tuple) and k and k[0] == "svd_dense"]
     assert len(dense_keys) == 1
 

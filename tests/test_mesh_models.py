@@ -84,10 +84,10 @@ def test_use_mesh_context_routes_models(mesh):
         model.build()
         recs_mesh = model.recommendations.copy()
         # the training matrix was actually placed over the mesh
-        dense_keys = [k for k in model._training_matrix_cache
+        dense_keys = [k for k in data._device_matrix_cache
                       if isinstance(k, tuple) and k and k[0] == "svd_dense"]
         assert dense_keys and dense_keys[0][1] is mesh
-        cached = model._training_matrix_cache[dense_keys[0]]
+        cached = data._device_matrix_cache[dense_keys[0]]
         assert len(cached.sharding.device_set) == 8
     assert model.active_mesh is None
 
@@ -205,6 +205,54 @@ def test_bpr_model_mesh_matches_single_device(mesh):
                                np.asarray(single.factors[itemid]),
                                rtol=2e-3, atol=2e-5)
     assert _agreement(single.recommendations, dist.recommendations) > 0.99
+
+
+def test_mesh_parity_non_divisible_geometry(mesh):
+    """Neither axis divides the 8-device mesh: the SVD dense block pads
+    via shard_rows (zero rows leave AᵀA unchanged) and distributed_ials
+    exercises its zero-padding branch (ADVICE r2: previously untested)."""
+    frame = make_realistic_interactions(n_users=241, n_items=119,
+                                        n_events=7000, seed=13)
+    data = RecommenderData(frame, "userid", "movieid", "rating", seed=11)
+    data.verbose = False
+    data.warm_start = False
+    data.holdout_size = 2
+    data.prepare()
+    _, _, shape = data.to_coo()
+    assert shape[0] % 8 and shape[1] % 8  # geometry is genuinely awkward
+
+    single = SVDModel(data)
+    single.verbose = False
+    single.compute_dtype = jnp.float64
+    single.rank = 6
+    single.build()
+    dist = SVDModel(data, mesh=mesh)
+    dist.verbose = False
+    dist.compute_dtype = jnp.float64
+    dist.rank = 6
+    dist.build()
+    from polara_tpu.ops.rsvd import principal_angles_max_sin
+    itemid = data.fields.itemid
+    assert principal_angles_max_sin(single.factors[itemid],
+                                    dist.factors[itemid]) < 1e-6
+    assert _agreement(single.recommendations, dist.recommendations) > 0.999
+
+    def configure(model):
+        model.verbose = False
+        model.rank = 5
+        model.num_epochs = 3
+        model.seed = 0
+        return model
+
+    ials_single = configure(ImplicitALS(data))
+    ials_single.build()
+    ials_dist = configure(ImplicitALS(data, mesh=mesh))
+    ials_dist.build()
+    np.testing.assert_allclose(np.asarray(ials_dist.factors[itemid]),
+                               np.asarray(ials_single.factors[itemid]),
+                               rtol=2e-3, atol=2e-5)
+    assert _agreement(ials_single.recommendations,
+                      ials_dist.recommendations) > 0.99
 
 
 def test_fused_pallas_backend_under_mesh(mesh):
