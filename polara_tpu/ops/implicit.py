@@ -58,6 +58,33 @@ class ImplicitFactors(NamedTuple):
     item: jax.Array
 
 
+def _solve_cm1_block(cm1_b: jax.Array, other: jax.Array,
+                     gram: jax.Array) -> jax.Array:
+    """Batched k×k normal-equation solve for one block of entities.
+
+    ``cm1_b`` is the (batch, cols) confidence margin ``C - 1`` (zero where
+    unobserved); peak intermediate is the (batch, cols, k) weighted panel.
+    """
+    pref = cm1_b > 0
+    # rhs = Yᵀ (c ⊙ p) with c = cm1 + 1 on observed entries
+    rhs = jnp.where(pref, cm1_b + 1.0, 0.0) @ other            # (b, k)
+    weighted = cm1_b[:, :, None] * other[None, :, :]            # (b, n, k)
+    a = gram[None] + jnp.einsum("bik,il->bkl", weighted, other)
+    chol = jax.scipy.linalg.cho_factor(a)
+    return jax.scipy.linalg.cho_solve(chol, rhs[..., None])[..., 0]
+
+
+def _batch_starts(n_rows: int, batch_rows: int):
+    """Clamped batch offsets covering [0, n_rows) without padding: the last
+    batch backs up to end exactly at ``n_rows`` (rows solved twice get the
+    identical answer — the fixed ``other`` side makes the solve per-row)."""
+    batch_rows = min(batch_rows, n_rows)
+    n_batches = -(-n_rows // batch_rows)
+    starts = np.minimum(np.arange(n_batches) * batch_rows,
+                        n_rows - batch_rows)
+    return jnp.asarray(starts, jnp.int32), batch_rows, n_batches
+
+
 @partial(jax.jit, static_argnames=("batch_rows",))
 def ials_half_sweep(cm1: jax.Array, other: jax.Array, reg: float,
                     batch_rows: int = 64) -> jax.Array:
@@ -65,29 +92,24 @@ def ials_half_sweep(cm1: jax.Array, other: jax.Array, reg: float,
 
     ``cm1`` is the dense (rows × cols) confidence margin ``C - 1`` (zero
     where unobserved); ``other`` the (cols × k) fixed factors.  Rows are
-    processed in padded batches through ``lax.map`` so the peak
-    intermediate is (batch, cols, k).
+    batched through clamped dynamic slices — no padded copy of ``cm1`` is
+    ever made, so the only HBM beyond the inputs is one (batch, cols, k)
+    intermediate.
     """
     n_rows, n_cols = cm1.shape
     k = other.shape[1]
     gram = other.T @ other + reg * jnp.eye(k, dtype=other.dtype)
+    starts, b, n_batches = _batch_starts(n_rows, batch_rows)
 
-    n_batches = -(-n_rows // batch_rows)
-    pad = n_batches * batch_rows - n_rows
-    cm1 = jnp.pad(cm1, ((0, pad), (0, 0)))
-    cm1 = cm1.reshape(n_batches, batch_rows, n_cols)
+    def body(ib, out):
+        start = starts[ib]
+        zero = jnp.int32(0)
+        cm1_b = jax.lax.dynamic_slice(cm1, (start, zero), (b, n_cols))
+        x = _solve_cm1_block(cm1_b, other, gram)
+        return jax.lax.dynamic_update_slice(out, x, (start, zero))
 
-    def solve_batch(cm1_b):
-        pref = cm1_b > 0
-        # rhs = Yᵀ (c ⊙ p) with c = cm1 + 1 on observed entries
-        rhs = jnp.where(pref, cm1_b + 1.0, 0.0) @ other        # (b, k)
-        weighted = cm1_b[:, :, None] * other[None, :, :]        # (b, n, k)
-        a = gram[None] + jnp.einsum("bik,il->bkl", weighted, other)
-        chol = jax.scipy.linalg.cho_factor(a)
-        return jax.scipy.linalg.cho_solve(chol, rhs[..., None])[..., 0]
-
-    x = jax.lax.map(solve_batch, cm1)
-    return x.reshape(n_batches * batch_rows, k)[:n_rows]
+    out = jnp.zeros((n_rows, k), other.dtype)
+    return jax.lax.fori_loop(0, n_batches, body, out)
 
 
 def ials_train(dense_ratings: jax.Array, rank: int, alpha: float = 1.0,
@@ -96,32 +118,65 @@ def ials_train(dense_ratings: jax.Array, rank: int, alpha: float = 1.0,
                seed: Optional[int] = 0, batch_rows: int = 64,
                dtype=jnp.float32) -> ImplicitFactors:
     """Alternating sweeps over users and items on the dense HBM-resident
-    ratings block."""
-    cm1 = confidence(dense_ratings.astype(dtype), alpha, weight, epsilon)
-    n_users, n_items = cm1.shape
+    ratings block.
+
+    HBM-lean: the confidence margin ``C - 1`` is recomputed per batch from
+    the ratings block inside the sweeps (an elementwise transform costs
+    nothing next to the MXU contractions), so neither ``C - 1`` nor its
+    transposed copy is ever resident — at ML-10M geometry that is ~6 GB of
+    savings, the difference between fitting a single v5e and OOMing."""
+    n_users, n_items = dense_ratings.shape
     key = jax.random.key(0 if seed is None else seed)
     item_factors = (jax.random.normal(key, (n_items, rank), dtype)
                     * (1.0 / math.sqrt(rank)))
     user_factors = jnp.zeros((n_users, rank), dtype)
 
     user_factors, item_factors = _ials_epochs(
-        cm1, user_factors, item_factors, reg, num_epochs, batch_rows)
+        dense_ratings, user_factors, item_factors, alpha, epsilon, reg,
+        weight, num_epochs, batch_rows)
     return ImplicitFactors(user=user_factors, item=item_factors)
 
 
-@partial(jax.jit, static_argnames=("num_epochs", "batch_rows"))
-def _ials_epochs(cm1, user_factors, item_factors, reg, num_epochs: int,
-                 batch_rows: int):
+def _ials_sweep(dense, other, alpha, epsilon, reg, weight: WeightFn,
+                batch_rows: int, axis: int) -> jax.Array:
+    """One half-sweep solving factors for rows (``axis=0``) or columns
+    (``axis=1``) of the raw ratings block, applying the confidence
+    transform blockwise."""
+    n_rows = dense.shape[axis]
+    n_other = dense.shape[1 - axis]
+    dtype = other.dtype
+    k = other.shape[1]
+    gram = other.T @ other + reg * jnp.eye(k, dtype=dtype)
+    starts, b, n_batches = _batch_starts(n_rows, batch_rows)
+
+    def body(ib, out):
+        start = starts[ib]
+        zero = jnp.int32(0)
+        if axis == 0:
+            blk = jax.lax.dynamic_slice(dense, (start, zero), (b, n_other))
+        else:
+            blk = jax.lax.dynamic_slice(dense, (zero, start),
+                                        (n_other, b)).T
+        cm1_b = confidence(blk.astype(dtype), alpha, weight, epsilon)
+        x = _solve_cm1_block(cm1_b, other, gram)
+        return jax.lax.dynamic_update_slice(out, x, (start, zero))
+
+    out = jnp.zeros((n_rows, k), dtype)
+    return jax.lax.fori_loop(0, n_batches, body, out)
+
+
+@partial(jax.jit, static_argnames=("weight", "num_epochs", "batch_rows"))
+def _ials_epochs(dense, user_factors, item_factors, alpha, epsilon, reg,
+                 weight: WeightFn, num_epochs: int, batch_rows: int):
     """All alternating sweeps in one device program (a host dispatch per
     half-sweep costs more than the sweep itself on TPU)."""
-    cm1_t = cm1.T
 
     def epoch(_, carry):
         user_factors, item_factors = carry
-        user_factors = ials_half_sweep.__wrapped__(cm1, item_factors, reg,
-                                                   batch_rows)
-        item_factors = ials_half_sweep.__wrapped__(cm1_t, user_factors,
-                                                   reg, batch_rows)
+        user_factors = _ials_sweep(dense, item_factors, alpha, epsilon,
+                                   reg, weight, batch_rows, axis=0)
+        item_factors = _ials_sweep(dense, user_factors, alpha, epsilon,
+                                   reg, weight, batch_rows, axis=1)
         return user_factors, item_factors
 
     return jax.lax.fori_loop(0, num_epochs, epoch,
