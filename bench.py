@@ -202,8 +202,7 @@ def main():
     # TPU f32 factors and an exact f64 ARPACK factorization (the
     # reference's solver, ``polara/recommender/models.py:844``) of the
     # SAME held-out split, both scored through the SAME device path.
-    exact = exact_factor_study(dense, rows, cols, vals, use_fused,
-                               plan, score_fn)
+    exact = exact_factor_study(dense, rows, cols, vals, use_fused)
 
     print(json.dumps({
         "metric": "ml10m_puresvd50_build_plus_score_top10",
@@ -251,7 +250,7 @@ def _exact_reference_v(rows, cols, vals, hold_mask):
     return v, s
 
 
-def exact_factor_study(dense, rows, cols, vals, use_fused, plan, score_fn):
+def exact_factor_study(dense, rows, cols, vals, use_fused):
     import jax
     import jax.numpy as jnp
 

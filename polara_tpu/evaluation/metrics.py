@@ -285,13 +285,25 @@ def _memo_token(v):
     return id(v)
 
 
+def _array_token(v):
+    """Identity plus a 64-element strided content sample for host arrays:
+    catches in-place mutation between calls at negligible cost.  Device
+    arrays are immutable, and sampling one would force a device→host
+    sync (the ~30 ms the memo exists to avoid) — identity suffices."""
+    if isinstance(v, np.ndarray) and v.size:
+        idx = np.linspace(0, v.size - 1, num=min(64, v.size),
+                          dtype=np.int64)
+        return (id(v), v.shape, v.flat[idx].tobytes())
+    return id(v)
+
+
 def _family(recommendations, holdout, key, target, **kwargs):
     arrays = {k: v for k, v in kwargs.items()
               if isinstance(v, (np.ndarray, jax.Array))}
     others = {k: v for k, v in kwargs.items() if k not in arrays}
     scalars = tuple(sorted((k, _memo_token(v)) for k, v in others.items()))
-    memo_key = ((id(recommendations), id(holdout))
-                + tuple(id(v) for _, v in sorted(arrays.items())),
+    memo_key = ((_array_token(recommendations), id(holdout))
+                + tuple(_array_token(v) for _, v in sorted(arrays.items())),
                 key, target, tuple(sorted(arrays)), scalars)
     if _family_memo.get("key") == memo_key:
         return _family_memo["value"]

@@ -106,13 +106,17 @@ class CoffeeModel(RecommenderModel):
         if (not self.show_output and self.active_mesh is None
                 and int(np.prod(shp)) * itemsize <= budget):
             cache = self.data.__dict__.setdefault("_device_matrix_cache", {})
-            dense_tensor = cache.get("coffee_tensor")
+            # keyed by dtype: the cache is shared across models of this
+            # data instance, and an f64 parity build must not pick up a
+            # sibling's f32 tensor
+            tensor_key = ("coffee_tensor", jnp.dtype(self.compute_dtype))
+            dense_tensor = cache.get(tensor_key)
             if dense_tensor is None or dense_tensor.shape != tuple(shp):
                 from polara_tpu.ops.sparse import dense_from_coo
                 dense_tensor = dense_from_coo(
                     np.asarray(idx), np.asarray(val, np.float64), shp,
                     dtype=self.compute_dtype)
-                cache["coffee_tensor"] = dense_tensor
+                cache[tensor_key] = dense_tensor
 
         mesh = self.active_mesh
         with track_time(self.training_time, verbose=self.verbose,

@@ -110,11 +110,16 @@ class SVDModel(RecommenderModel):
                 else:
                     key = ("svd_dense", mesh) + self._scaling_signature()
                     dense = cache.get(key)
+                track_key = key if key is not None else ("svd_dense", mesh)
+                if track_key != getattr(self, "_last_dense_key", None):
+                    # sweeps over this model's own scaling/mesh config
+                    # must not accumulate ~GB dense blocks, but the cache
+                    # is shared across models now — evict only THIS
+                    # model's previous block (and its power operator),
+                    # never a sibling's
+                    self._evict_dense_entries(cache)
+                    self._last_dense_key = track_key
                 if dense is None:
-                    for stale in [k for k in cache
-                                  if isinstance(k, tuple)
-                                  and k and k[0] == "svd_dense"]:
-                        del cache[stale]
                     dense = matrix.to_dense()
                     if mesh is not None:
                         # rows over the users axis; GSPMD turns the Gram
@@ -175,6 +180,16 @@ class SVDModel(RecommenderModel):
         """Cache key component for the densified training matrix
         (ScaledMatrixMixin adds its scaling exponents)."""
         return ()
+
+    def _evict_dense_entries(self, cache: dict) -> None:
+        """Drop this model's previously cached dense block (and any power
+        operator derived from it) when its cache key changed."""
+        last = getattr(self, "_last_dense_key", None)
+        if last is None:
+            return
+        for stale in [k for k in cache
+                      if isinstance(k, tuple) and k[:len(last)] == last]:
+            del cache[stale]
 
     def score_params(self) -> dict:
         v = self.factors[self.data.fields.itemid]

@@ -311,17 +311,21 @@ def distributed_bpr(rows: np.ndarray, cols: np.ndarray, shape, rank: int,
 
     def epoch_local_sgd(x, y, seen_l, rows_l, cols_l, key_epoch):
         # local-SGD mode: independent per-device chains, b_loc-sized
-        # draws, pmean sync every sync_every steps
+        # draws, pmean sync every sync_every steps.  The key grid rounds
+        # n_steps up to full blocks; rounded-up slots carry live=False
+        # and run as no-ops so the epoch covers EXACTLY n_steps samples
+        # (the single-chip contract) even when sync_every ∤ n_steps.
         shard = jax.lax.axis_index(axis)
         key_dev = jax.random.fold_in(key_epoch, shard)
 
-        def step(carry, key_step):
+        def step(carry, inp):
             x, y = carry
+            key_step, live = inp
             kp, kn = jax.random.split(key_step)
             idx = jax.random.randint(kp, (b_loc,), 0, nnz)
             j = jax.random.randint(kn, (b_loc,), 0, n_items)
             u, i = rows_l[idx], cols_l[idx]
-            ok = ~seen_l[u, j]
+            ok = ~seen_l[u, j] & live
             xu, yi, yj = x[u], y[i], y[j]
             margin = jnp.sum(xu * (yi - yj), axis=1)
             g = jnp.where(ok, jax.nn.sigmoid(-margin), 0.0)[:, None]
@@ -331,18 +335,22 @@ def distributed_bpr(rows: np.ndarray, cols: np.ndarray, shape, rank: int,
             y = y.at[j].add(lr_local * (-g * xu - reg * okf * yj))
             auc = jnp.sum(jnp.where(ok, margin > 0, False)) \
                 / jnp.maximum(jnp.sum(ok), 1)
-            return (x, y), auc
+            return (x, y), (auc, live.astype(x.dtype))
 
-        def block(carry, block_keys):
-            (x, y), aucs = jax.lax.scan(step, carry, block_keys)
+        def block(carry, inp):
+            (x, y), (aucs, lives) = jax.lax.scan(step, carry, inp)
             x = jax.lax.pmean(x, axis)
             y = jax.lax.pmean(y, axis)
-            return (x, y), jnp.mean(aucs)
+            return (x, y), (jnp.sum(aucs), jnp.sum(lives))
 
-        keys = jax.random.split(key_dev, n_blocks * sync_every) \
+        total = n_blocks * sync_every
+        keys = jax.random.split(key_dev, total) \
             .reshape(n_blocks, sync_every)
-        (x, y), aucs = jax.lax.scan(block, (x, y), keys)
-        return x, y, jax.lax.pmean(jnp.mean(aucs), axis)
+        live = (jnp.arange(total) < n_steps).reshape(n_blocks, sync_every)
+        (x, y), (auc_sums, live_sums) = jax.lax.scan(
+            block, (x, y), (keys, live))
+        auc = jnp.sum(auc_sums) / jnp.maximum(jnp.sum(live_sums), 1)
+        return x, y, jax.lax.pmean(auc, axis)
 
     def epoch_local(x, y, seen_l, rows_l, cols_l, key_epoch):
         shard = jax.lax.axis_index(axis)
