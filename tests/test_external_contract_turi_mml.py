@@ -168,6 +168,41 @@ def test_turi_cold_start_new_item_data_plumbing():
     assert predict["n_pairs"] == n_cold * n_repr
 
 
+def test_turi_cold_start_pads_small_candidate_pool():
+    # fewer representative users than topk: the adapter must pad to
+    # (n_cold, topk) with -1 like the native cold-start mixins
+    data = ItemColdStartData(make_events(), "userid", "movieid", "rating",
+                             item_features=make_features(), seed=0,
+                             verbose=False)
+    data.test_sample = 2            # 2 representative users < topk
+    data.prepare()
+    model = TuriColdStartRecommender(data, item_side_info=make_features())
+    model.verbose = False
+    model.topk = 5
+    model.build()
+    recs = model.recommendations
+    n_cold = data.index.itemid.cold_start.shape[0]
+    assert recs.shape == (n_cold, 5)
+    assert (recs[:, 2:] == -1).all()
+    assert (recs[:, :2] >= 0).all()
+
+
+def test_turi_side_info_reassignment_invalidates_sframe_cache():
+    # round-3 review finding: swapping the side-info frame must rebuild
+    # the SFrame, not reuse the stale one
+    data = ItemColdStartData(make_events(), "userid", "movieid", "rating",
+                             item_features=make_features(), seed=0,
+                             verbose=False)
+    data.prepare()
+    features = make_features()
+    model = TuriColdStartRecommender(data, item_side_info=features)
+    model.verbose = False
+    first = model.item_data
+    assert first is model.item_data          # cached while unchanged
+    model.item_side_info = features.copy()
+    assert model.item_data is not first      # rebuilt from the new frame
+
+
 # --------------------------------------------------------------------------
 # MyMediaLite
 # --------------------------------------------------------------------------

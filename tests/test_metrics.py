@@ -237,6 +237,24 @@ def test_family_accessors_memoize_single_fused_pass(monkeypatch):
     assert calls["n"] == 3
 
 
+def test_family_accessors_detect_inplace_mutation():
+    """In-place edits to a recommendations panel between family calls
+    must recompute, not serve the pre-mutation result (round-3 review
+    finding: the memo keys host arrays by identity + content sample)."""
+    from polara_tpu.evaluation import metrics as m
+
+    recs = np.array([[0, 1], [2, 3]])
+    holdout = pd.DataFrame({"userid": [0, 1], "movieid": [1, 2],
+                            "rating": [5, 4]})
+    before = m.get_hr_score(recs, holdout, "userid", "movieid",
+                            feedback="rating")
+    recs[1] = [-1, -1]          # same object, different content
+    after = m.get_hr_score(recs, holdout, "userid", "movieid",
+                           feedback="rating")
+    assert before.hr == pytest.approx(1.0)
+    assert after.hr == pytest.approx(0.5)
+
+
 def test_family_accessors_accept_series_kwargs():
     """A pandas Series kwarg (elementwise ``==``) must not break the
     memo-key comparison on the second call (round-3 review finding)."""

@@ -317,6 +317,36 @@ def test_distributed_bpr_local_sgd_scales_and_converges():
                for e in stats["epochs"])
 
 
+def test_distributed_bpr_local_sgd_non_dividing_sync_every():
+    # sync_every ∤ n_steps: rounded-up scan slots must run as no-ops and
+    # stay out of the AUC statistic (previously the epoch ran
+    # ceil(n_steps/sync_every)*sync_every real steps and averaged dead
+    # zero-AUC slots into the epoch figure)
+    import numpy as np
+    from polara_tpu.parallel.distributed import distributed_bpr
+    from polara_tpu.runtime.mesh import make_mesh
+
+    rs = np.random.RandomState(3)
+    n_users, n_items = 48, 32
+    dense = (rs.rand(n_users, n_items) < 0.35)
+    rows, cols = np.nonzero(dense)
+
+    mesh = make_mesh(n_devices=8, axes=("users",), shape=(8,))
+    stats = {}
+    aucs = []
+    # nnz ~ 530, batch 512 -> n_steps=2; sync_every=4 rounds up to one
+    # 4-slot block with live=[T,T,F,F]
+    distributed_bpr(rows.astype(np.int32), cols.astype(np.int32),
+                    (n_users, n_items), rank=4, mesh=mesh, num_epochs=2,
+                    batch_size=512, sync_every=4, seed=0,
+                    update_mode="local", epoch_stats=aucs,
+                    train_stats=stats)
+    assert stats["steps_per_epoch"] == 2
+    # a random-init BPR AUC sits near 0.5; averaging two dead slots in
+    # would halve it — the regression shows up as ~0.25
+    assert aucs[0] > 0.35, aucs
+
+
 def test_distributed_bpr_rejects_unknown_mode():
     import numpy as np
     import pytest
