@@ -46,6 +46,8 @@ def confidence(values: jax.Array, alpha: float = 1.0,
         transformed = jnp.log(jnp.maximum(scaled, 1e-12) + 1.0)
     elif weight == "linear":
         transformed = scaled
+    elif weight == "sqrt":
+        transformed = jnp.sqrt(jnp.maximum(scaled, 0.0))
     elif callable(weight):
         transformed = weight(scaled)
     else:
@@ -56,6 +58,18 @@ def confidence(values: jax.Array, alpha: float = 1.0,
 class ImplicitFactors(NamedTuple):
     user: jax.Array
     item: jax.Array
+
+
+def canonical_weight(weight: WeightFn) -> WeightFn:
+    """Map common numpy/jax ufunc callables (``np.sqrt`` in the reference
+    notebooks) onto their named equivalents so the confidence transform
+    can run under jit — ``np.sqrt`` on a tracer raises — and so serving
+    bundles can persist the weight by name."""
+    if callable(weight):
+        name = getattr(weight, "__name__", None)
+        if name in ("sqrt", "log2", "log", "linear"):
+            return name
+    return weight
 
 
 def _solve_cm1_block(cm1_b: jax.Array, other: jax.Array,
@@ -125,6 +139,7 @@ def ials_train(dense_ratings: jax.Array, rank: int, alpha: float = 1.0,
     nothing next to the MXU contractions), so neither ``C - 1`` nor its
     transposed copy is ever resident — at ML-10M geometry that is ~6 GB of
     savings, the difference between fitting a single v5e and OOMing."""
+    weight = canonical_weight(weight)
     n_users, n_items = dense_ratings.shape
     key = jax.random.key(0 if seed is None else seed)
     item_factors = (jax.random.normal(key, (n_items, rank), dtype)

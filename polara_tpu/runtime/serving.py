@@ -62,6 +62,77 @@ def _serve_step_events(right_panel: jax.Array, left_panel: jax.Array,
     return idx.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("topk", "filter_seen", "kind",
+                                   "weight"))
+def _serve_step_foldin(panel: jax.Array, gram: jax.Array,
+                       profiles: jax.Array, alpha, epsilon, topk: int,
+                       filter_seen: bool, kind: str, weight) -> jax.Array:
+    """Implicit-MF request path: fold the profile into the factor space by
+    solving the model's own normal system against fixed item factors —
+    iALS confidence-weighted (``ops/implicit.ials_fold_in``) or BPR ridge
+    (``models/implicit_mf._lstsq_fold_in``) — then score ``x @ Vᵀ``.
+    Plain ``p·V·Vᵀ`` projection is wrong for these models: V is not
+    orthonormal and the trained warm-start semantics are the solve."""
+    from polara_tpu.ops.implicit import confidence
+
+    if kind == "ials":
+        cm1 = confidence(profiles, alpha, weight, epsilon)
+        rhs = jnp.where(profiles > 0, cm1 + 1.0, 0.0) @ panel
+        aw = cm1
+    else:                       # "ridge": binary preferences (BPR)
+        aw = (profiles > 0).astype(panel.dtype)
+        rhs = aw @ panel
+    a = gram[None] + jnp.einsum("bi,ik,il->bkl", aw, panel, panel)
+    chol = jax.scipy.linalg.cho_factor(a)
+    x = jax.scipy.linalg.cho_solve(chol, rhs[..., None])[..., 0]
+    scores = x @ panel.T
+    if filter_seen:
+        scores = jnp.where(profiles > 0, -jnp.inf, scores)
+    _, idx = jax.lax.top_k(scores, topk)
+    return idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("topk", "filter_seen", "kind",
+                                   "weight"))
+def _serve_step_events_foldin(panel: jax.Array, gram: jax.Array,
+                              item_ids: jax.Array,
+                              values: Optional[jax.Array],
+                              lengths: jax.Array, alpha, epsilon,
+                              topk: int, filter_seen: bool, kind: str,
+                              weight) -> jax.Array:
+    """Event-list variant of :func:`_serve_step_foldin`: assembles the
+    per-request normal system straight from the (ids, values) history —
+    peak intermediate is (batch, width, rank), never (batch, n_items)."""
+    from polara_tpu.ops.implicit import confidence
+
+    width = item_ids.shape[1]
+    valid = jnp.arange(width, dtype=lengths.dtype)[None, :] < lengths[:, None]
+    ids = jnp.where(valid, item_ids, 0).astype(jnp.int32)
+    v_ids = panel[ids]                               # (b, w, r)
+    if kind == "ials":
+        vals = (jnp.ones(ids.shape, panel.dtype) if values is None
+                else values.astype(panel.dtype))
+        vals = jnp.where(valid, vals, 0.0)
+        cm1 = confidence(vals, alpha, weight, epsilon)
+        w_rhs = jnp.where(vals > 0, cm1 + 1.0, 0.0)
+        aw = cm1
+    else:
+        aw = valid.astype(panel.dtype)
+        w_rhs = aw
+    rhs = jnp.einsum("bw,bwr->br", w_rhs, v_ids)
+    a = gram[None] + jnp.einsum("bw,bwk,bwl->bkl", aw, v_ids, v_ids)
+    chol = jax.scipy.linalg.cho_factor(a)
+    x = jax.scipy.linalg.cho_solve(chol, rhs[..., None])[..., 0]
+    scores = x @ panel.T
+    if filter_seen:
+        rows = jnp.broadcast_to(
+            jnp.arange(ids.shape[0])[:, None], ids.shape)
+        update = jnp.where(valid, -jnp.inf, jnp.inf)
+        scores = scores.at[rows, ids].min(update)
+    _, idx = jax.lax.top_k(scores, topk)
+    return idx.astype(jnp.int32)
+
+
 class ServingBundle:
     """Compiled top-k recommender over fixed item factors.
 
@@ -73,7 +144,8 @@ class ServingBundle:
                  filter_seen: bool = True, batch_size: int = 256,
                  dtype=jnp.float32, left_panel=None,
                  value_map: Optional[dict] = None,
-                 default_weight: float = 1.0):
+                 default_weight: float = 1.0,
+                 fold_in: Optional[dict] = None):
         self.item_factors = jnp.asarray(item_factors, dtype)
         self.left_panel = (jnp.asarray(left_panel, dtype)
                            if left_panel is not None
@@ -81,6 +153,30 @@ class ServingBundle:
         self.topk = int(topk)
         self.filter_seen = bool(filter_seen)
         self.batch_size = int(batch_size)
+        # implicit-MF warm-start semantics: {"kind": "ials", "alpha",
+        # "weight", "epsilon", "reg"} or {"kind": "ridge", "reg"}.
+        # None = plain p·V·Vᵀ projection (SVD family).
+        self.fold_in = None
+        self._gram = None
+        if fold_in is not None:
+            if value_map is not None:
+                raise ValueError("fold_in and value_map are mutually "
+                                 "exclusive serving modes")
+            kind = fold_in.get("kind")
+            if kind not in ("ials", "ridge"):
+                raise ValueError(f"unknown fold_in kind {kind!r}")
+            spec = {"kind": kind, "reg": float(fold_in.get("reg", 0.01))}
+            if kind == "ials":
+                spec["alpha"] = float(fold_in.get("alpha", 1.0))
+                spec["epsilon"] = float(fold_in.get("epsilon", 1.0))
+                spec["weight"] = fold_in.get("weight", "log2")
+            self.fold_in = spec
+            v = self.item_factors
+            eye = spec["reg"] * jnp.eye(v.shape[1], dtype=v.dtype)
+            # iALS carries the full VᵀV Gram (unit baseline confidence on
+            # the unobserved entries); the BPR ridge solves only over the
+            # seen set (``models/implicit_mf._lstsq_fold_in``)
+            self._gram = (v.T @ v + eye) if kind == "ials" else eye
         # CoFFee-style collapsed scoring: raw rating -> per-level scalar
         # weight (``models/coffee.py:142-154``); None = identity (SVD/MF
         # raw ratings).  ``default_weight`` applies to implicit requests
@@ -101,11 +197,36 @@ class ServingBundle:
     def from_model(cls, model, topk: Optional[int] = None,
                    **kwargs) -> "ServingBundle":
         """Bundle a trained SVD-family/MF model (anything whose scoring
-        is ``profiles @ V @ Vᵀ`` over item factors) — or a CoFFee model,
-        whose scoring collapses to the same shape with per-rating scalar
-        weights (``models/coffee.py:142-154``)."""
+        is ``profiles @ V @ Vᵀ`` over item factors), a CoFFee model
+        (scoring collapses to the same shape with per-rating scalar
+        weights, ``models/coffee.py:142-154``), or an implicit-MF model
+        (iALS/BPR — served through their warm-start fold-in solve, not
+        projection)."""
         itemid = model.data.fields.itemid
         topk = topk if topk is not None else model.topk
+        if hasattr(model, "_fold_in_users"):
+            # implicit family: replicate the model's own warm-start
+            # semantics (``models/implicit_mf.py:61-77``)
+            factors = model.factors.get(itemid)
+            if factors is None:
+                raise ValueError(f"{model.method} has no item factors; "
+                                 "build() first")
+            if hasattr(model, "weight_func"):       # iALS
+                weight = model.weight_func
+                named = {"sqrt": "sqrt", "log2": "log2", "log": "log",
+                         "linear": "linear"}
+                if callable(weight):
+                    # prefer a persistable name for the common callables
+                    weight = named.get(getattr(weight, "__name__", ""),
+                                       weight)
+                fold_in = {"kind": "ials", "alpha": model.alpha,
+                           "epsilon": model.epsilon, "weight": weight,
+                           "reg": model.regularization}
+            else:                                    # BPR-style ridge
+                fold_in = {"kind": "ridge",
+                           "reg": model.regularization}
+            return cls(factors, topk=topk, filter_seen=model.filter_seen,
+                       fold_in=fold_in, **kwargs)
         left = None
         factors = model.factors.get(f"{itemid}_projector_right")
         if factors is not None:  # HybridSVD: asymmetric projectors
@@ -148,9 +269,17 @@ class ServingBundle:
         use."""
         dummy = jnp.zeros((self.batch_size, self.n_items),
                           self.item_factors.dtype)
-        jax.block_until_ready(_serve_step(self.item_factors,
-                                          self.left_panel, dummy,
-                                          self.topk, self.filter_seen))
+        if self.fold_in is not None:
+            jax.block_until_ready(_serve_step_foldin(
+                self.item_factors, self._gram, dummy,
+                self.fold_in.get("alpha", 0.0),
+                self.fold_in.get("epsilon", 1.0), self.topk,
+                self.filter_seen, self.fold_in["kind"],
+                self.fold_in.get("weight")))
+        else:
+            jax.block_until_ready(_serve_step(self.item_factors,
+                                              self.left_panel, dummy,
+                                              self.topk, self.filter_seen))
         # a value map turns every request into weighted events
         explicit_values = explicit_values or self.value_map is not None
         ids_dtype = self._wire_ids_dtype()
@@ -162,9 +291,17 @@ class ServingBundle:
                 variants.append(
                     jnp.zeros((self.batch_size, int(width)), jnp.float32))
             for values in variants:
-                jax.block_until_ready(_serve_step_events(
-                    self.item_factors, self.left_panel, ids, values,
-                    lengths, self.topk, self.filter_seen))
+                if self.fold_in is not None:
+                    jax.block_until_ready(_serve_step_events_foldin(
+                        self.item_factors, self._gram, ids, values,
+                        lengths, self.fold_in.get("alpha", 0.0),
+                        self.fold_in.get("epsilon", 1.0), self.topk,
+                        self.filter_seen, self.fold_in["kind"],
+                        self.fold_in.get("weight")))
+                else:
+                    jax.block_until_ready(_serve_step_events(
+                        self.item_factors, self.left_panel, ids, values,
+                        lengths, self.topk, self.filter_seen))
 
     def _map_request_values(self, values: np.ndarray) -> np.ndarray:
         """Map raw request ratings through ``value_map`` (CoFFee level
@@ -267,13 +404,21 @@ class ServingBundle:
         for start in range(0, n, self.batch_size):
             stop = min(start + self.batch_size, n)
             pad = ((0, self.batch_size - (stop - start)), (0, 0))
-            recs = _serve_step_events(
-                self.item_factors, self.left_panel,
-                jnp.asarray(np.pad(item_ids[start:stop], pad)),
-                None if flat_vals is None
-                else jnp.asarray(np.pad(values[start:stop], pad)),
-                jnp.asarray(np.pad(lengths32[start:stop], pad[0])),
-                self.topk, self.filter_seen)
+            ids_b = jnp.asarray(np.pad(item_ids[start:stop], pad))
+            vals_b = (None if flat_vals is None
+                      else jnp.asarray(np.pad(values[start:stop], pad)))
+            lens_b = jnp.asarray(np.pad(lengths32[start:stop], pad[0]))
+            if self.fold_in is not None:
+                recs = _serve_step_events_foldin(
+                    self.item_factors, self._gram, ids_b, vals_b, lens_b,
+                    self.fold_in.get("alpha", 0.0),
+                    self.fold_in.get("epsilon", 1.0),
+                    self.topk, self.filter_seen, self.fold_in["kind"],
+                    self.fold_in.get("weight"))
+            else:
+                recs = _serve_step_events(
+                    self.item_factors, self.left_panel, ids_b, vals_b,
+                    lens_b, self.topk, self.filter_seen)
             out[start:stop] = np.asarray(recs)[: stop - start]
         return out
 
@@ -320,10 +465,17 @@ class ServingBundle:
             stop = min(start + self.batch_size, n)
             block = np.zeros((self.batch_size, self.n_items))
             block[: stop - start] = profiles[start:stop]
-            recs = _serve_step(self.item_factors, self.left_panel,
-                               jnp.asarray(block,
-                                           self.item_factors.dtype),
-                               self.topk, self.filter_seen)
+            block_d = jnp.asarray(block, self.item_factors.dtype)
+            if self.fold_in is not None:
+                recs = _serve_step_foldin(
+                    self.item_factors, self._gram, block_d,
+                    self.fold_in.get("alpha", 0.0),
+                    self.fold_in.get("epsilon", 1.0),
+                    self.topk, self.filter_seen, self.fold_in["kind"],
+                    self.fold_in.get("weight"))
+            else:
+                recs = _serve_step(self.item_factors, self.left_panel,
+                                   block_d, self.topk, self.filter_seen)
             out[start:stop] = np.asarray(recs)[: stop - start]
         return out
 
@@ -346,6 +498,13 @@ class ServingBundle:
             factors["value_map_weights"] = np.asarray(
                 [self.value_map[k] for k in keys], np.float64)
             meta["default_weight"] = self.default_weight
+        if self.fold_in is not None:
+            if callable(self.fold_in.get("weight")):
+                raise ValueError(
+                    "cannot persist a bundle whose fold-in confidence "
+                    "weight is a custom callable; use a named weight "
+                    "('log2', 'log', 'linear', 'sqrt')")
+            meta["fold_in"] = dict(self.fold_in)
         save_factors(path, factors, meta)
 
     @classmethod
@@ -362,4 +521,5 @@ class ServingBundle:
                    batch_size=meta["batch_size"],
                    left_panel=factors.get("left_panel"),
                    value_map=value_map,
-                   default_weight=float(meta.get("default_weight", 1.0)))
+                   default_weight=float(meta.get("default_weight", 1.0)),
+                   fold_in=meta.get("fold_in"))

@@ -360,3 +360,126 @@ def test_value_map_f32_inexact_levels_roundtrip(vm_bundle_factors,
     restored = ServingBundle.load(path)
     np.testing.assert_array_equal(
         restored.recommend_events([{5: 0.1, 6: 0.2}]), got)
+
+
+# --------------------------------------------------------------------------
+# Implicit-MF fold-in serving (iALS / BPR warm-start semantics)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def warm_start_data():
+    events = make_synthetic_interactions(n_users=90, n_items=40,
+                                         n_events=1800, seed=3)
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = True
+    data.test_ratio = 0.2
+    data.holdout_size = 2
+    data.prepare()
+    return data
+
+
+def _warm_profiles(model):
+    profiles, _, __ = model._warm_start_profiles()
+    return np.asarray(profiles)
+
+
+def test_ials_bundle_serves_fold_in_semantics(warm_start_data):
+    import jax.numpy as jnp
+    from polara_tpu.models.implicit_mf import ImplicitALS
+
+    model = ImplicitALS(warm_start_data)
+    model.verbose = False
+    model.rank = 8
+    model.num_epochs = 6
+    model.compute_dtype = jnp.float64
+    model.build()
+    expect = model.recommendations        # warm-start fold-in path
+
+    bundle = ServingBundle.from_model(model, batch_size=32,
+                                      dtype=jnp.float64)
+    assert bundle.fold_in["kind"] == "ials"
+    got = bundle.recommend(_warm_profiles(model))
+    agree = (got == expect).mean()
+    assert agree > 0.97, agree
+
+    # projection serving (the old behavior) is NOT fold-in: it must
+    # disagree materially, otherwise this test guards nothing
+    proj = ServingBundle(model.factors["movieid"], topk=model.topk,
+                         dtype=jnp.float64, batch_size=32)
+    assert (proj.recommend(_warm_profiles(model)) == expect).mean() < 0.9
+
+
+def test_ials_bundle_event_path_matches_dense(warm_start_data):
+    import jax.numpy as jnp
+    from polara_tpu.models.implicit_mf import ImplicitALS
+
+    model = ImplicitALS(warm_start_data)
+    model.verbose = False
+    model.rank = 6
+    model.num_epochs = 4
+    model.weight_func = np.sqrt          # maps to the named "sqrt"
+    model.build()
+    bundle = ServingBundle.from_model(model, batch_size=16,
+                                      dtype=jnp.float64)
+    assert bundle.fold_in["weight"] == "sqrt"
+
+    profiles = _warm_profiles(model)[:8]
+    dense_recs = bundle.recommend(profiles)
+    events = []
+    for row in profiles:
+        cols = np.nonzero(row)[0]
+        events.append({int(c): float(row[c]) for c in cols})
+    event_recs = bundle.recommend_events(events)
+    assert (event_recs == dense_recs).mean() > 0.97
+
+
+def test_bpr_bundle_serves_ridge_fold_in(warm_start_data):
+    import jax.numpy as jnp
+    from polara_tpu.models.implicit_mf import ImplicitBPR
+
+    model = ImplicitBPR(warm_start_data)
+    model.verbose = False
+    model.rank = 6
+    model.num_epochs = 10
+    model.build()
+    expect = model.recommendations
+
+    bundle = ServingBundle.from_model(model, batch_size=32,
+                                      dtype=jnp.float64)
+    assert bundle.fold_in == {"kind": "ridge",
+                              "reg": model.regularization}
+    got = bundle.recommend(_warm_profiles(model))
+    assert (got == expect).mean() > 0.97
+
+
+def test_fold_in_bundle_save_load_roundtrip(warm_start_data, tmp_path):
+    import jax.numpy as jnp
+    from polara_tpu.models.implicit_mf import ImplicitALS
+
+    model = ImplicitALS(warm_start_data)
+    model.verbose = False
+    model.rank = 6
+    model.num_epochs = 3
+    model.weight_func = "sqrt"
+    model.build()
+    bundle = ServingBundle.from_model(model, batch_size=8)
+    profiles = _warm_profiles(model)[:5]
+    before = bundle.recommend(profiles)
+
+    path = str(tmp_path / "ials_bundle.npz")
+    bundle.save(path)
+    restored = ServingBundle.load(path)
+    assert restored.fold_in == bundle.fold_in
+    np.testing.assert_array_equal(restored.recommend(profiles), before)
+
+    # a custom callable weight cannot persist — clear error, not silence
+    bundle.fold_in["weight"] = lambda x: x
+    with pytest.raises(ValueError, match="callable"):
+        bundle.save(str(tmp_path / "bad.npz"))
+
+
+def test_fold_in_rejects_value_map_combination():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ServingBundle(np.eye(4), fold_in={"kind": "ials"},
+                      value_map={1.0: 1.0})
