@@ -422,15 +422,24 @@ class RecommenderData:
             return data
         userid = self.fields.userid
         if cap > 0:
+            # same vectorized draw-preserving scheme as _sample_holdout's
+            # random path (one argsort, rs.choice per group in
+            # first-appearance order)
             rs = np.random.RandomState(self.seed)
-
-            def pick(group):
-                n = group.shape[0]
+            codes, _ = pd.factorize(data[userid].to_numpy(), sort=False)
+            order = np.argsort(codes, kind="stable")
+            sizes = np.bincount(codes) if len(codes) \
+                else np.empty(0, np.int64)
+            stops = np.cumsum(sizes)
+            chunks = []
+            for lo, hi, n in zip(stops - sizes, stops, sizes):
+                block = order[lo:hi]
                 if n > cap:
-                    return group.take(rs.choice(n, cap, replace=False))
-                return group
-            return (data.groupby(userid, sort=False, group_keys=False)
-                        .apply(pick))
+                    block = block[rs.choice(n, cap, replace=False)]
+                chunks.append(block)
+            picked = (np.concatenate(chunks) if chunks
+                      else np.empty(0, np.intp))
+            return data.iloc[picked]
         feedback = self.fields.feedback
         idx = (data.groupby(userid, sort=False)[feedback]
                    .nsmallest(-cap).index.get_level_values(1))
