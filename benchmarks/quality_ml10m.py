@@ -100,6 +100,11 @@ def main():
     log(f"events: {len(events)} at ML-10M geometry "
         f"({events['userid'].nunique()}x{events['movieid'].nunique()})")
 
+    if os.environ.get("ML10M_STAGE") == "identity":
+        # subprocess mode: CPU/x64 backend, identity gate only
+        print(json.dumps(identity_check(events)))
+        return
+
     data = RecommenderData(events.copy(), "userid", "movieid", "rating",
                            seed=0, verbose=False)
     # tutorial cell 22 settings (holdout rule deviation documented above)
@@ -159,7 +164,21 @@ def main():
         # the identity stage is host-bound and slow; keep the CV table
         # recoverable from the log if it dies mid-flight
         log("cv-table (pre-identity): " + json.dumps(payload))
-        payload["svd_identity_fold1"] = identity_check(events)
+        # f64 parity needs the CPU/x64 backend (the ML-1M gate's regime;
+        # f32 TPU factors top out near the bench's 99.8% top-10 overlap
+        # vs exact, below the 99.9% identity bar) — run it in a
+        # subprocess so the CV stage keeps the session backend
+        import subprocess
+        env = dict(os.environ, ML10M_STAGE="identity",
+                   JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True)
+        sys.stderr.write(out.stderr)
+        if out.returncode:
+            raise RuntimeError(f"identity stage failed:\n{out.stdout}")
+        payload["svd_identity_fold1"] = json.loads(
+            out.stdout.strip().splitlines()[-1])
 
     print(json.dumps(payload))
 
@@ -195,6 +214,7 @@ def identity_check(events):
     our_svd = SVDModel(our_data)
     our_svd.rank = PSVD_RANK
     our_svd.verbose = False
+    our_svd.compute_dtype = jnp.float64   # ARPACK-grade subspace regime
     our_recs = np.asarray(our_svd.recommendations)
 
     agreement = float((ref_recs == our_recs).mean())

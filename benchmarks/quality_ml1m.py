@@ -139,7 +139,71 @@ def main():
         "folds": len(FOLDS),
         "table": table,
         "published_real_ml1m": PUBLISHED,
+        "sampled_eigenrec": sampled_eigenrec(events),
     }))
+
+
+def sampled_eigenrec(events):
+    """EigenRec sampled-candidate protocol at the published configuration
+    (``Reproducing_EIGENREC_results.ipynb`` cells 11-50, BASELINE.md:23):
+    random 5-star holdout via ``set_test_data``, each holdout item ranked
+    against 999 randomly sampled unseen items, ScaledSVD rank 50 /
+    col_scaling 0.5; published real-ML-1M MRR is 0.3130822.  Deviation:
+    the notebook hand-rolls per-EVENT candidate sampling over a 1.4%
+    fractional holdout (its cells 28/48 bypass the library mixin, whose
+    ``compute_holdout_scores`` asserts a fixed holdout size — reference
+    ``models.py:1108``); here the protocol runs through the supported
+    mixin with one random 5-star event per user, same candidate-set
+    semantics.  Asserts the notebook's headline structure —
+    popularity-damped scaling beats plain PureSVD."""
+    from polara_tpu.data import SampledEvaluationMixin
+    from polara_tpu.models.sampled import SampledEvaluationSVDMixin
+    from polara_tpu.models.svd import ScaledSVD
+    from polara_tpu.preprocessing.dataframes import (
+        sample_unseen_interactions)
+
+    class SampledData(SampledEvaluationMixin, RecommenderData):
+        pass
+
+    class SampledScaledSVD(SampledEvaluationSVDMixin, ScaledSVD):
+        pass
+
+    t0 = time.perf_counter()
+    data = SampledData(events.copy(), "userid", "movieid", "rating",
+                       seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.random_holdout = True
+    data.prepare()
+    data.set_test_data(holdout=data.test.holdout.query("rating == 5"),
+                       warm_start=False, reindex=False,
+                       ensure_consistency=False, holdout_size=1)
+
+    item_pool = data.get_entity_index("movieid")["old"].values
+    unseen = sample_unseen_interactions(
+        events, item_pool, n_random=999, random_state=0,
+        userid="userid", itemid="movieid")
+    data.set_unseen_interactions(unseen, reindex=True)
+
+    mrr = {}
+    for scaling in (1.0, 0.5):
+        model = SampledScaledSVD(data)
+        model.verbose = False
+        model.rank = 50
+        model.col_scaling = scaling
+        mrr[scaling] = float(model.evaluate("ranking",
+                                            simple_rates=True).mrr)
+    log(f"sampled EigenRec: PureSVD mrr={mrr[1.0]:.4f}, "
+        f"ScaledSVD(0.5) mrr={mrr[0.5]:.4f} "
+        f"({time.perf_counter() - t0:.1f}s)")
+    assert mrr[0.5] > mrr[1.0], \
+        "EigenRec scaling did not improve sampled MRR"
+    return {"scaled_mrr": round(mrr[0.5], 6),
+            "puresvd_mrr": round(mrr[1.0], 6),
+            "published_scaled_mrr": 0.3130822,
+            "config": {"rank": 50, "col_scaling": 0.5,
+                       "n_random": 999, "holdout": "random 1-per-user, 5-star"}}
 
 
 if __name__ == "__main__":
