@@ -273,18 +273,42 @@ class RecommenderData:
         return self._fold_mask(user_codes, n_users, self._test_fold,
                                self._test_ratio)
 
+    @staticmethod
+    def _column_fingerprint(column: pd.Series):
+        """Cheap (length, 64-sample) content token guarding the memo
+        below against in-place mutation of the shared events frame."""
+        vals = column.values
+        n = len(vals)
+        if not n:
+            return (0, b"")
+        idx = np.linspace(0, n - 1, num=min(64, n), dtype=np.int64)
+        sample = vals[idx]
+        try:
+            token = sample.tobytes()
+        except (AttributeError, TypeError):   # object dtype (string ids)
+            token = str(sample.tolist()).encode()
+        return (n, token)
+
     def _full_codes(self, col: str):
         """Sorted factorization of a full-data column, memoized — the
-        events frame is immutable after construction, yet the fold loop
-        used to re-hash it every ``update()`` (the dominant host cost of
-        a CV sweep at ML-10M scale: ~25 s per fold on the profiled
-        host)."""
+        events frame does not change across fold updates, yet the fold
+        loop used to re-hash it every ``update()`` (the dominant host
+        cost of a CV sweep at ML-10M scale: ~25 s per fold on the
+        profiled host).  A content sample is validated on every hit so
+        in-place mutation of the caller-shared frame drops the whole
+        memo instead of silently serving stale codes."""
         cache = self.__dict__.setdefault("_factorize_cache", {})
+        column = self._data[col]
         hit = cache.get(col)
-        if hit is None:
-            codes, uniques = pd.factorize(self._data[col], sort=True)
-            hit = cache[col] = (codes, np.asarray(uniques))
-        return hit
+        if hit is not None:
+            codes, uniques, fp = hit
+            if fp == self._column_fingerprint(column):
+                return codes, uniques
+            cache.clear()           # frame mutated: every memo is stale
+        codes, uniques = pd.factorize(column, sort=True)
+        uniques = np.asarray(uniques)
+        cache[col] = (codes, uniques, self._column_fingerprint(column))
+        return codes, uniques
 
     def _session_codes(self):
         userid = self.fields.userid
@@ -306,6 +330,30 @@ class RecommenderData:
         monotonic = (diff < 0).all() or (diff > 0).all()
         huge_gap = (sizes.min() / sizes.max()) < allowed_gap
         return bool(monotonic or huge_gap)
+
+    @staticmethod
+    def _sample_capped_groups(codes: np.ndarray, rs, cap: int
+                              ) -> np.ndarray:
+        """Positions picking ≤ ``cap`` rows per group, issuing the same
+        ``rs.choice`` calls in the same first-appearance group order as
+        the groupby-apply it replaces (draw-for-draw pinned by the
+        reference-parity suite).  NaN keys (factorize code -1) are
+        excluded, matching groupby's ``dropna``."""
+        valid = codes >= 0
+        pos = np.flatnonzero(valid)
+        vcodes = codes[valid]
+        order = pos[np.argsort(vcodes, kind="stable")]
+        sizes = np.bincount(vcodes) if vcodes.size \
+            else np.empty(0, np.int64)
+        stops = np.cumsum(sizes)
+        chunks = []
+        for lo, hi, n in zip(stops - sizes, stops, sizes):
+            block = order[lo:hi]
+            if n > cap:
+                block = block[rs.choice(n, cap, replace=False)]
+            chunks.append(block)
+        return (np.concatenate(chunks) if chunks
+                else np.empty(0, np.intp))
 
     @staticmethod
     def _fold_mask(codes: np.ndarray, n_unique: int, fold: int,
@@ -372,26 +420,12 @@ class RecommenderData:
         if at_random:
             rs = np.random.RandomState(self.seed)
             if size >= 1:
-                # Vectorized replacement for groupby-apply: one stable
-                # argsort plus a plain loop issuing the SAME rs.choice
-                # calls in the same first-appearance group order as the
-                # apply path did (draw-for-draw identical holdout — the
-                # reference-parity suite pins this), without pandas
-                # allocating a frame per group (~100 s/fold at ML-10M).
+                # Vectorized replacement for groupby-apply: no pandas
+                # frame per group (~100 s/fold at ML-10M), identical
+                # draws (see _sample_capped_groups)
                 keys = self._data[group_id].loc[selector.index].to_numpy()
                 codes, _ = pd.factorize(keys, sort=False)
-                order = np.argsort(codes, kind="stable")
-                sizes = np.bincount(codes) if len(codes) \
-                    else np.empty(0, np.int64)
-                stops = np.cumsum(sizes)
-                chunks = []
-                for lo, hi, n in zip(stops - sizes, stops, sizes):
-                    block = order[lo:hi]
-                    if n > size:
-                        block = block[rs.choice(n, size, replace=False)]
-                    chunks.append(block)
-                picked = (np.concatenate(chunks) if chunks
-                          else np.empty(0, np.intp))
+                picked = self._sample_capped_groups(codes, rs, size)
                 return self._data.loc[selector.index[picked]]
             chosen = grouper.apply(
                 lambda g: g.sample(frac=size, random_state=rs))
@@ -423,22 +457,10 @@ class RecommenderData:
         userid = self.fields.userid
         if cap > 0:
             # same vectorized draw-preserving scheme as _sample_holdout's
-            # random path (one argsort, rs.choice per group in
-            # first-appearance order)
+            # random path
             rs = np.random.RandomState(self.seed)
             codes, _ = pd.factorize(data[userid].to_numpy(), sort=False)
-            order = np.argsort(codes, kind="stable")
-            sizes = np.bincount(codes) if len(codes) \
-                else np.empty(0, np.int64)
-            stops = np.cumsum(sizes)
-            chunks = []
-            for lo, hi, n in zip(stops - sizes, stops, sizes):
-                block = order[lo:hi]
-                if n > cap:
-                    block = block[rs.choice(n, cap, replace=False)]
-                chunks.append(block)
-            picked = (np.concatenate(chunks) if chunks
-                      else np.empty(0, np.intp))
+            picked = self._sample_capped_groups(codes, rs, cap)
             return data.iloc[picked]
         feedback = self.fields.feedback
         idx = (data.groupby(userid, sort=False)[feedback]

@@ -61,14 +61,16 @@ class ImplicitFactors(NamedTuple):
 
 
 def canonical_weight(weight: WeightFn) -> WeightFn:
-    """Map common numpy/jax ufunc callables (``np.sqrt`` in the reference
-    notebooks) onto their named equivalents so the confidence transform
-    can run under jit — ``np.sqrt`` on a tracer raises — and so serving
-    bundles can persist the weight by name."""
-    if callable(weight):
-        name = getattr(weight, "__name__", None)
-        if name in ("sqrt", "log2", "log", "linear"):
-            return name
+    """Map ``np.sqrt``/``jnp.sqrt`` (the reference notebooks' tuned iALS
+    confidence) onto the named ``"sqrt"`` weight so the transform can run
+    under jit — ``np.sqrt`` on a tracer raises — and so serving bundles
+    can persist it by name.  ONLY sqrt maps: it is identical to the
+    callable on the positive domain, whereas the named ``"log2"``/
+    ``"log"`` branches compute ``w(x + 1)`` and are NOT the same math as
+    the ``np.log2``/``np.log`` callables (``w(x)``, the reference
+    wrapper's default) — those keep their callable semantics."""
+    if callable(weight) and getattr(weight, "__name__", None) == "sqrt":
+        return "sqrt"
     return weight
 
 
@@ -138,13 +140,23 @@ def ials_train(dense_ratings: jax.Array, rank: int, alpha: float = 1.0,
     the ratings block inside the sweeps (an elementwise transform costs
     nothing next to the MXU contractions), so neither ``C - 1`` nor its
     transposed copy is ever resident — at ML-10M geometry that is ~6 GB of
-    savings, the difference between fitting a single v5e and OOMing."""
+    savings, the difference between fitting a single v5e and OOMing.
+
+    A custom *callable* weight cannot run inside the jitted sweeps
+    (numpy ufuncs raise on tracers), so that path applies the confidence
+    transform eagerly and trains on the materialized margin — the
+    pre-optimization memory profile; named weights keep the lean path."""
     weight = canonical_weight(weight)
     n_users, n_items = dense_ratings.shape
     key = jax.random.key(0 if seed is None else seed)
     item_factors = (jax.random.normal(key, (n_items, rank), dtype)
                     * (1.0 / math.sqrt(rank)))
     user_factors = jnp.zeros((n_users, rank), dtype)
+
+    if callable(weight):
+        dense_ratings = confidence(dense_ratings.astype(dtype), alpha,
+                                   weight, epsilon)
+        alpha, epsilon, weight = 1.0, 1.0, "__margin__"
 
     user_factors, item_factors = _ials_epochs(
         dense_ratings, user_factors, item_factors, alpha, epsilon, reg,
@@ -172,7 +184,12 @@ def _ials_sweep(dense, other, alpha, epsilon, reg, weight: WeightFn,
         else:
             blk = jax.lax.dynamic_slice(dense, (zero, start),
                                         (n_other, b)).T
-        cm1_b = confidence(blk.astype(dtype), alpha, weight, epsilon)
+        if weight == "__margin__":
+            # ``dense`` already carries the confidence margin (callable
+            # weights applied eagerly in ials_train)
+            cm1_b = blk.astype(dtype)
+        else:
+            cm1_b = confidence(blk.astype(dtype), alpha, weight, epsilon)
         x = _solve_cm1_block(cm1_b, other, gram)
         return jax.lax.dynamic_update_slice(out, x, (start, zero))
 

@@ -167,9 +167,27 @@ class ServingBundle:
                 raise ValueError(f"unknown fold_in kind {kind!r}")
             spec = {"kind": kind, "reg": float(fold_in.get("reg", 0.01))}
             if kind == "ials":
+                from polara_tpu.ops.implicit import (canonical_weight,
+                                                     confidence)
                 spec["alpha"] = float(fold_in.get("alpha", 1.0))
                 spec["epsilon"] = float(fold_in.get("epsilon", 1.0))
-                spec["weight"] = fold_in.get("weight", "log2")
+                spec["weight"] = canonical_weight(
+                    fold_in.get("weight", "log2"))
+                if callable(spec["weight"]):
+                    # the serve steps are jitted — a numpy-based callable
+                    # raises deep inside the first request; surface it now
+                    try:
+                        jax.eval_shape(
+                            lambda v: confidence(v, spec["alpha"],
+                                                 spec["weight"],
+                                                 spec["epsilon"]),
+                            jax.ShapeDtypeStruct((1,), jnp.float32))
+                    except Exception as err:
+                        raise ValueError(
+                            "fold-in confidence weight callable is not "
+                            "jit-traceable; use a named weight ('log2', "
+                            "'log', 'linear', 'sqrt') or a jax-traceable "
+                            "callable") from err
             self.fold_in = spec
             v = self.item_factors
             eye = spec["reg"] * jnp.eye(v.shape[1], dtype=v.dtype)
@@ -188,6 +206,13 @@ class ServingBundle:
                           else {float(k): float(v)
                                 for k, v in value_map.items()})
         self.default_weight = float(default_weight)
+
+    def _fold_in_args(self):
+        """Shared trailing argument tuple of the fold-in serve steps."""
+        return (self.fold_in.get("alpha", 0.0),
+                self.fold_in.get("epsilon", 1.0),
+                self.topk, self.filter_seen, self.fold_in["kind"],
+                self.fold_in.get("weight"))
 
     @property
     def n_items(self) -> int:
@@ -212,15 +237,9 @@ class ServingBundle:
                 raise ValueError(f"{model.method} has no item factors; "
                                  "build() first")
             if hasattr(model, "weight_func"):       # iALS
-                weight = model.weight_func
-                named = {"sqrt": "sqrt", "log2": "log2", "log": "log",
-                         "linear": "linear"}
-                if callable(weight):
-                    # prefer a persistable name for the common callables
-                    weight = named.get(getattr(weight, "__name__", ""),
-                                       weight)
                 fold_in = {"kind": "ials", "alpha": model.alpha,
-                           "epsilon": model.epsilon, "weight": weight,
+                           "epsilon": model.epsilon,
+                           "weight": model.weight_func,
                            "reg": model.regularization}
             else:                                    # BPR-style ridge
                 fold_in = {"kind": "ridge",
@@ -272,10 +291,7 @@ class ServingBundle:
         if self.fold_in is not None:
             jax.block_until_ready(_serve_step_foldin(
                 self.item_factors, self._gram, dummy,
-                self.fold_in.get("alpha", 0.0),
-                self.fold_in.get("epsilon", 1.0), self.topk,
-                self.filter_seen, self.fold_in["kind"],
-                self.fold_in.get("weight")))
+                *self._fold_in_args()))
         else:
             jax.block_until_ready(_serve_step(self.item_factors,
                                               self.left_panel, dummy,
@@ -294,10 +310,7 @@ class ServingBundle:
                 if self.fold_in is not None:
                     jax.block_until_ready(_serve_step_events_foldin(
                         self.item_factors, self._gram, ids, values,
-                        lengths, self.fold_in.get("alpha", 0.0),
-                        self.fold_in.get("epsilon", 1.0), self.topk,
-                        self.filter_seen, self.fold_in["kind"],
-                        self.fold_in.get("weight")))
+                        lengths, *self._fold_in_args()))
                 else:
                     jax.block_until_ready(_serve_step_events(
                         self.item_factors, self.left_panel, ids, values,
@@ -411,10 +424,7 @@ class ServingBundle:
             if self.fold_in is not None:
                 recs = _serve_step_events_foldin(
                     self.item_factors, self._gram, ids_b, vals_b, lens_b,
-                    self.fold_in.get("alpha", 0.0),
-                    self.fold_in.get("epsilon", 1.0),
-                    self.topk, self.filter_seen, self.fold_in["kind"],
-                    self.fold_in.get("weight"))
+                    *self._fold_in_args())
             else:
                 recs = _serve_step_events(
                     self.item_factors, self.left_panel, ids_b, vals_b,
@@ -469,10 +479,7 @@ class ServingBundle:
             if self.fold_in is not None:
                 recs = _serve_step_foldin(
                     self.item_factors, self._gram, block_d,
-                    self.fold_in.get("alpha", 0.0),
-                    self.fold_in.get("epsilon", 1.0),
-                    self.topk, self.filter_seen, self.fold_in["kind"],
-                    self.fold_in.get("weight"))
+                    *self._fold_in_args())
             else:
                 recs = _serve_step(self.item_factors, self.left_panel,
                                    block_d, self.topk, self.filter_seen)

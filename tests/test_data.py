@@ -345,3 +345,45 @@ def test_narrow_int32_id_columns_prepare(synthetic_interactions):
     wide.prepare()
     pd.testing.assert_frame_equal(
         data.training.astype(np.int64), wide.training.astype(np.int64))
+
+
+def test_sample_capped_groups_drops_nan_keys():
+    # NaN group keys factorize to code -1; groupby's dropna used to
+    # exclude them silently — the vectorized sampler must too, not crash
+    # (round-3 review finding)
+    import numpy as np
+    from polara_tpu.data.dataset import RecommenderData
+
+    codes = np.array([0, -1, 0, 1, -1, 1, 1])
+    rs = np.random.RandomState(0)
+    picked = RecommenderData._sample_capped_groups(codes, rs, 2)
+    assert set(picked) <= {0, 2, 3, 5, 6}      # NaN rows never picked
+    assert (codes[picked] >= 0).all()
+    # group 0 kept whole (n=2 <= cap), group 1 capped to 2 of 3
+    assert (codes[picked] == 0).sum() == 2
+    assert (codes[picked] == 1).sum() == 2
+
+
+def test_inplace_frame_mutation_invalidates_factorize_memo():
+    # the events frame is shared with the caller; in-place edits must
+    # drop the memoized factorization, not serve stale codes
+    import numpy as np
+    import pandas as pd
+    from polara_tpu.data.dataset import RecommenderData
+
+    events = pd.DataFrame({
+        "userid": np.repeat(np.arange(20), 5),
+        "movieid": np.tile(np.arange(25), 4),
+        "rating": np.ones(100, int)})
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.holdout_size = 1
+    data.test_ratio = 0.2
+    data.prepare()
+    before = data.index.itemid["old"].max()
+
+    events["movieid"] += 1000          # in-place remap through the caller
+    data.test_fold = 2                 # fold rotation -> full update
+    data.prepare()
+    after = data.index.itemid["old"].max()
+    assert after == before + 1000      # fresh codes, not the stale memo

@@ -2,6 +2,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+import jax
 import jax.numpy as jnp
 
 from polara_tpu.data import RecommenderData
@@ -184,3 +185,40 @@ def test_mml_parse_and_remap(tmp_path):
     remapped = remap_factors(mapping, users_f, 3, nf)
     np.testing.assert_allclose(remapped[2], u[0])
     np.testing.assert_allclose(remapped[0], u[1])
+
+
+def test_canonical_weight_maps_only_equivalent_callables():
+    # np.log2/np.log must KEEP callable semantics: the named "log2"
+    # branch computes log2(x+1), the reference's callable default is
+    # log2(x) (ialswrapper.py:39-42) — conflating them silently trains
+    # a different confidence model (round-3 review finding)
+    from polara_tpu.ops.implicit import canonical_weight
+    assert canonical_weight(np.sqrt) == "sqrt"
+    assert canonical_weight(jnp.sqrt) == "sqrt"
+    assert canonical_weight(np.log2) is np.log2
+    assert canonical_weight(np.log) is np.log
+    assert canonical_weight("log2") == "log2"
+
+    vals = jnp.asarray([1.0, 2.0, 5.0])
+    named = confidence(vals, weight="log2")
+    called = confidence(vals, weight=np.log2)
+    assert not np.allclose(np.asarray(named), np.asarray(called))
+
+
+def test_ials_train_callable_weight_matches_eager_margin():
+    # callable weights route through the eager-margin path; the result
+    # must equal alternating half-sweeps on the precomputed margin
+    rs = np.random.RandomState(2)
+    dense = jnp.asarray((rs.rand(24, 16) < 0.4) * rs.randint(1, 6, (24, 16)),
+                        jnp.float32)
+    trained = ials_train(dense, rank=4, weight=np.log2, num_epochs=3,
+                         seed=0, batch_rows=8)
+
+    cm1 = confidence(dense, weight=np.log2)
+    key = jax.random.key(0)
+    item = jax.random.normal(key, (16, 4), jnp.float32) / np.sqrt(4)
+    for _ in range(3):
+        user = ials_half_sweep(cm1, item, 0.01, batch_rows=8)
+        item = ials_half_sweep(cm1.T, user, 0.01, batch_rows=8)
+    np.testing.assert_allclose(np.asarray(trained.item), np.asarray(item),
+                               rtol=1e-4, atol=1e-6)
