@@ -242,6 +242,10 @@ class RecommenderData:
         self._state = new_state
         self._test_split = test_split
         self._test = TestData(testset, holdout)
+        # test-side memos (recovered scenario-3 testset, shared scoring
+        # plans) follow the test data's lifetime
+        self._recovered_testset = None
+        self.__dict__.setdefault("_test_plan_cache", {}).clear()
 
         if rule.full_update:
             fields = [f for f in self.fields if f is not None]
@@ -728,7 +732,12 @@ class RecommenderData:
         if testset is None:
             if self._warm_start or self.test.holdout is None:
                 raise ValueError("Unable to read test data")
-            testset = self._recover_testset(update_data=False)
+            # scenario-3 recovery sorts ~n_test training rows; memoized
+            # per split so several models on one data pay it once
+            testset = getattr(self, "_recovered_testset", None)
+            if testset is None:
+                testset = self._recover_testset(update_data=False)
+                self._recovered_testset = testset
 
         user_idx = testset[userid].values.astype(np.intp)
         item_idx = testset[itemid].values.astype(np.intp)
@@ -790,6 +799,8 @@ class RecommenderData:
             testset = self._data.loc[mask, fields]
 
         self._test = TestData(testset, holdout)
+        self._recovered_testset = None
+        self.__dict__.setdefault("_test_plan_cache", {}).clear()
         self.index = self.index._replace(
             userid=self.index.userid._replace(test=None))
         self._warm_start = warm_start

@@ -269,6 +269,18 @@ class RecommenderModel:
         return (user_rows, item_idx, feedback), test_shape, test_users
 
     def _build_test_plan(self) -> Tuple[ChunkedTestData, np.ndarray]:
+        # plans (and their packed seen-bit masks) are shareable across
+        # models with the same effective test view: cache on the data
+        # object, invalidated whenever the split changes
+        # (``data/dataset.py:_split_data``)
+        threshold = (None if self.data.warm_start
+                     else self.feedback_threshold)
+        key = (getattr(self, "is_tensor_model", False), threshold,
+               self.scores_multiplier, self._mesh_shards())
+        cache = self.data.__dict__.setdefault("_test_plan_cache", {})
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
         (user_rows, item_idx, feedback), test_shape, test_users = \
             self._get_test_data()
         plan = ChunkedTestData.build(
@@ -277,6 +289,7 @@ class RecommenderModel:
             n_users=test_shape[0], n_items=test_shape[1],
             scores_multiplier=self.scores_multiplier,
             n_shards=self._mesh_shards())
+        cache[key] = (plan, test_users)
         return plan, test_users
 
     def _mesh_shards(self) -> int:
