@@ -87,7 +87,10 @@ class ImplicitALS(_RankedFactorModel):
         self.weight_func = "log2"
         self.regularization = 0.01
         self.num_epochs = 15
-        self.batch_rows = 64
+        # None = auto-size per sweep axis to the HBM budget (bigger
+        # batches cut the sequential solve count ~7x at ML-10M); set an
+        # int to pin both sweeps' batch size
+        self.batch_rows: Optional[int] = None
         self.seed = 0
         self.method = "iALS"
 

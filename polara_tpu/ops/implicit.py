@@ -128,10 +128,24 @@ def ials_half_sweep(cm1: jax.Array, other: jax.Array, reg: float,
     return jax.lax.fori_loop(0, n_batches, body, out)
 
 
+def _auto_batch_rows(n_rows: int, n_other: int, rank: int,
+                     budget_bytes: int = 2 << 30) -> int:
+    """Largest batch whose (batch, n_other, rank) weighted panel plus the
+    einsum temporary fit the budget — per-row independent solves make the
+    result invariant to batching, so bigger batches only help: the sweep
+    is dispatch/MXU-efficiency-bound at tiny batches (the fixed 64-row
+    default cost ~19k sequential micro-steps per ML-10M epoch)."""
+    per_row = max(1, n_other * rank * 4 * 2)
+    b = budget_bytes // per_row
+    b = max(8, min(1024, b, n_rows))
+    return int(b) & ~7 or 8      # multiple of 8 for clean tiling
+
+
 def ials_train(dense_ratings: jax.Array, rank: int, alpha: float = 1.0,
                weight: WeightFn = "log2", epsilon: float = 1.0,
                reg: float = 0.01, num_epochs: int = 15,
-               seed: Optional[int] = 0, batch_rows: int = 64,
+               seed: Optional[int] = 0,
+               batch_rows: Optional[int] = None,
                dtype=jnp.float32) -> ImplicitFactors:
     """Alternating sweeps over users and items on the dense HBM-resident
     ratings block.
@@ -158,9 +172,11 @@ def ials_train(dense_ratings: jax.Array, rank: int, alpha: float = 1.0,
                                    weight, epsilon)
         alpha, epsilon, weight = 1.0, 1.0, "__margin__"
 
+    batch_user = batch_rows or _auto_batch_rows(n_users, n_items, rank)
+    batch_item = batch_rows or _auto_batch_rows(n_items, n_users, rank)
     user_factors, item_factors = _ials_epochs(
         dense_ratings, user_factors, item_factors, alpha, epsilon, reg,
-        weight, num_epochs, batch_rows)
+        weight, num_epochs, batch_user, batch_item)
     return ImplicitFactors(user=user_factors, item=item_factors)
 
 
@@ -197,18 +213,20 @@ def _ials_sweep(dense, other, alpha, epsilon, reg, weight: WeightFn,
     return jax.lax.fori_loop(0, n_batches, body, out)
 
 
-@partial(jax.jit, static_argnames=("weight", "num_epochs", "batch_rows"))
+@partial(jax.jit, static_argnames=("weight", "num_epochs", "batch_user",
+                                   "batch_item"))
 def _ials_epochs(dense, user_factors, item_factors, alpha, epsilon, reg,
-                 weight: WeightFn, num_epochs: int, batch_rows: int):
+                 weight: WeightFn, num_epochs: int, batch_user: int,
+                 batch_item: int):
     """All alternating sweeps in one device program (a host dispatch per
     half-sweep costs more than the sweep itself on TPU)."""
 
     def epoch(_, carry):
         user_factors, item_factors = carry
         user_factors = _ials_sweep(dense, item_factors, alpha, epsilon,
-                                   reg, weight, batch_rows, axis=0)
+                                   reg, weight, batch_user, axis=0)
         item_factors = _ials_sweep(dense, user_factors, alpha, epsilon,
-                                   reg, weight, batch_rows, axis=1)
+                                   reg, weight, batch_item, axis=1)
         return user_factors, item_factors
 
     return jax.lax.fori_loop(0, num_epochs, epoch,
@@ -218,11 +236,14 @@ def _ials_epochs(dense, user_factors, item_factors, alpha, epsilon, reg,
 def ials_fold_in(profiles: jax.Array, item_factors: jax.Array,
                  alpha: float = 1.0, weight: WeightFn = "log2",
                  epsilon: float = 1.0, reg: float = 0.01,
-                 batch_rows: int = 64) -> jax.Array:
+                 batch_rows: Optional[int] = None) -> jax.Array:
     """Warm-start user vectors from raw test profiles in one batched
     solve (replaces the reference's per-user ``recalculate_user`` loop)."""
     cm1 = confidence(profiles.astype(item_factors.dtype), alpha, weight,
                      epsilon)
+    if batch_rows is None:
+        batch_rows = _auto_batch_rows(cm1.shape[0], cm1.shape[1],
+                                      item_factors.shape[1])
     return ials_half_sweep(cm1, item_factors, reg, batch_rows)
 
 

@@ -112,7 +112,7 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
                      alpha: float = 1.0, weight="log2",
                      epsilon: float = 1.0, reg: float = 0.01,
                      num_epochs: int = 15, seed: Optional[int] = 0,
-                     batch_rows: int = 64, dtype=jnp.float32,
+                     batch_rows: Optional[int] = 64, dtype=jnp.float32,
                      train_stats: Optional[dict] = None):
     """Confidence-weighted ALS over a row-sharded ratings matrix.
 
@@ -157,6 +157,10 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
     cm1 = confidence(dense_ratings.astype(dtype), alpha, weight,
                      epsilon)
     n_users, n_items = cm1.shape
+    if batch_rows is None:      # auto-size like the single-chip path
+        from polara_tpu.ops.implicit import _auto_batch_rows
+        batch_rows = _auto_batch_rows(
+            max(n_users // n_dev, 1), n_items, rank)
     # shard_map needs the sharded axis divisible by the mesh; zero-pad
     # both entity axes (zero rows solve to zero factors; zero item
     # columns have empty grams, so their regularized systems solve to
