@@ -5,8 +5,9 @@ from scipy.sparse.linalg import svds
 
 import jax.numpy as jnp
 
-from polara_tpu.ops.sparse import (CooMatrix, dense_operator,
-                                   inner_product_at, pad_rows)
+from polara_tpu.ops.sparse import (CooMatrix, chunked_coo_operator,
+                                   dense_operator, inner_product_at,
+                                   pad_rows)
 from polara_tpu.ops.rsvd import randomized_svd, principal_angles_max_sin
 from polara_tpu.ops.topk import mask_and_topk, top_k_indices, downvote_items
 
@@ -48,6 +49,70 @@ class TestCooMatrix:
                                       csr.getnnz(axis=1))
         np.testing.assert_array_equal(np.asarray(device.col_nnz()),
                                       csr.getnnz(axis=0))
+
+
+class TestChunkedCooOperator:
+    """Streaming operator == dense operator at small scale; the chunk
+    machinery (padding, boundary-crossing rows, clamped starts) must be
+    invisible."""
+
+    def _coo(self, m=230, n=97, density=0.15, seed=4):
+        csr = random_rating_matrix(m, n, density=density, seed=seed)
+        coo = csr.tocoo()
+        return csr, coo
+
+    @pytest.mark.parametrize("event_chunk", [37, 256, 10 ** 9])
+    def test_matmul_parity(self, event_chunk):
+        csr, coo = self._coo()
+        op = chunked_coo_operator(coo.row, coo.col, coo.data, coo.shape,
+                                  event_chunk=event_chunk,
+                                  dtype=jnp.float64)
+        x = np.random.RandomState(1).randn(csr.shape[1], 9)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   csr @ x, rtol=1e-10)
+        y = np.random.RandomState(2).randn(csr.shape[0], 6)
+        np.testing.assert_allclose(np.asarray(op.rmm(jnp.asarray(y))),
+                                   csr.T @ y, rtol=1e-10)
+
+    def test_unsorted_input_is_sorted(self):
+        csr, coo = self._coo()
+        perm = np.random.RandomState(3).permutation(coo.nnz)
+        op = chunked_coo_operator(coo.row[perm], coo.col[perm],
+                                  coo.data[perm], coo.shape,
+                                  event_chunk=64, dtype=jnp.float64)
+        x = np.random.RandomState(1).randn(csr.shape[1], 5)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   csr @ x, rtol=1e-10)
+
+    def test_single_row_and_empty_guard(self):
+        with pytest.raises(ValueError):
+            chunked_coo_operator(np.array([], np.int32),
+                                 np.array([], np.int32),
+                                 np.array([], np.float64), (3, 4))
+        # all events on one row, chunk smaller than nnz
+        rows = np.zeros(10, np.int32)
+        cols = np.arange(10, dtype=np.int32)
+        vals = np.arange(1.0, 11.0)
+        op = chunked_coo_operator(rows, cols, vals, (5, 12), event_chunk=3,
+                                  dtype=jnp.float64)
+        x = np.random.RandomState(0).randn(12, 4)
+        expect = np.zeros((5, 4))
+        expect[0] = (vals[:, None] * x[cols]).sum(axis=0)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   expect, rtol=1e-10)
+
+    def test_rsvd_through_chunked_operator(self):
+        csr, coo = self._coo(m=180, n=120, density=0.25, seed=7)
+        op = chunked_coo_operator(coo.row, coo.col, coo.data, coo.shape,
+                                  event_chunk=501, dtype=jnp.float64)
+        dense = jnp.asarray(csr.toarray(), jnp.float64)
+        res_chunk = randomized_svd(op, 8, tol=1e-12, max_iter=300, seed=5,
+                                   dtype=jnp.float64)
+        res_dense = randomized_svd(dense, 8, tol=1e-12, max_iter=300,
+                                   seed=5, dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(res_chunk.s),
+                                   np.asarray(res_dense.s), rtol=1e-9)
+        assert principal_angles_max_sin(res_chunk.v, res_dense.v) < 1e-7
 
 
 class TestRandomizedSvd:
