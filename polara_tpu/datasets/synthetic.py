@@ -275,6 +275,11 @@ def make_realistic_coo_device(n_users: int, n_items: int, n_events: int,
 # published numbers use).
 ML10M_GEOMETRY = dict(n_users=69_878, n_items=10_677, n_events=10_000_054)
 ML1M_GEOMETRY = dict(n_users=6_040, n_items=3_706, n_events=1_000_209)
+# Netflix-prize geometry: the classic beyond-MovieLens recsys scale.
+# Dense f32 at this shape is ~32 GiB — past a single chip's HBM — so it
+# exercises the streaming chunked-COO path rather than the dense block.
+NETFLIX_GEOMETRY = dict(n_users=480_189, n_items=17_770,
+                        n_events=100_480_507)
 
 
 def load_or_make_benchmark_coo(geometry: dict, cache_path: str,
@@ -309,6 +314,20 @@ def load_or_make_ml10m(cache_path: str = "/tmp/polara_tpu_bench_ml10m_v1.npz",
 def load_or_make_ml1m(cache_path: str = "/tmp/polara_tpu_bench_ml1m_v1.npz",
                       seed: int = 0, log=None):
     return load_or_make_benchmark_coo(ML1M_GEOMETRY, cache_path, seed, log)
+
+
+def load_or_make_netflix(
+        cache_path: str = "/tmp/polara_tpu_bench_netflix_v1.npz",
+        seed: int = 0, log=None):
+    """Calibrated Netflix-prize-geometry interactions (~100M events).
+
+    Generation is chunked at 4096 user rows so the per-chunk
+    (rows × 17,770) Gumbel keying stays within a few hundred MB; the
+    one-time cost is dominated by pulling the ~1.2 GB event stream to
+    the host for the npz cache.
+    """
+    geometry = dict(NETFLIX_GEOMETRY, row_chunk=4096)
+    return load_or_make_benchmark_coo(geometry, cache_path, seed, log)
 
 
 def make_realistic_interactions(n_users: int = 2000, n_items: int = 1200,

@@ -144,7 +144,17 @@ class SVDModel(RecommenderModel):
                             dense, jnp.dtype(self.svd_power_dtype))
                         cache[lo_key] = power_op
             else:
-                svd_matrix = matrix.operator()
+                # even the COO operator has a per-matmul (nnz, block)
+                # intermediate; past the budget, stream it in chunks
+                block = self.rank + (self.svd_oversample
+                                     if self.svd_oversample is not None
+                                     else max(10, self.rank))
+                coo_bytes = (matrix.nnz * block
+                             * jnp.dtype(self.compute_dtype).itemsize)
+                if coo_bytes > budget:
+                    svd_matrix = matrix.chunked_operator()
+                else:
+                    svd_matrix = matrix.operator()
 
         # CholeskyQR2 panels SPMD cleanly (Gram psums); Householder QR
         # would gather the full panel onto one device

@@ -284,6 +284,31 @@ def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
     return out_idx[:n_users, :k]
 
 
+@functools.partial(jax.jit, static_argnames=("n_rows", "n_cols", "tile_n"))
+def pack_seen_bits_device(rows: jax.Array, cols: jax.Array, n_rows: int,
+                          n_cols: int, tile_n: int = 4096) -> jax.Array:
+    """Device-side :func:`pack_seen_bits` (same striped layout).
+
+    At ~100M events the host packer plus the packed-panel upload through
+    a slow link costs tens of seconds; on device the pack is one
+    scatter-add.  Requires UNIQUE (row, col) pairs — each pair owns a
+    distinct bit of its word, so the adds compose like bitwise-or; a
+    duplicated event would corrupt neighbouring bits (the data model
+    enforces uniqueness at construction, ``data/dataset.py``).
+    """
+    w = tile_n // 32
+    n_tiles = max(1, -(-n_cols // tile_n))
+    rows = rows.astype(jnp.int32)
+    cols = cols.astype(jnp.int32)
+    tile = cols // tile_n
+    offset = cols % tile_n
+    word = tile * w + (offset % w)
+    bit = jnp.uint32(1) << (offset // w).astype(jnp.uint32)
+    out = jnp.zeros((n_rows, n_tiles * w), jnp.uint32)
+    return out.at[rows, word].add(bit, indices_are_sorted=False,
+                                  unique_indices=False)
+
+
 def pack_seen_bits(rows: np.ndarray, cols: np.ndarray, n_rows: int,
                    n_cols: int, tile_n: int = 4096) -> np.ndarray:
     """Pack per-row seen columns into a striped uint32 bitmask.

@@ -190,6 +190,39 @@ class CooMatrix:
                               operands=(self.rows, self.cols, self.vals),
                               dtype=self.vals.dtype)
 
+    def chunked_operator(self, event_chunk: int = 4_000_000
+                         ) -> MatmulOperator:
+        """Streaming operator over this matrix's events (see
+        :func:`chunked_coo_operator`) staged on device — the arrays are
+        already resident and row-sorted, so the prep is a reshape plus
+        one tiny host sync for the static chunk span."""
+        nnz = self.nnz
+        if nnz == 0:
+            raise ValueError("empty matrix")
+        m, n = self.shape
+        event_chunk = min(event_chunk, nnz)
+        n_chunks = -(-nnz // event_chunk)
+        pad = n_chunks * event_chunk - nnz
+        rows, cols, vals = self.rows, self.cols, self.vals
+        if pad:
+            rows = jnp.concatenate([rows, jnp.broadcast_to(rows[-1],
+                                                           (pad,))])
+            cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+            vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        rows = rows.reshape(n_chunks, event_chunk)
+        span = int(jnp.max(rows[:, -1] - rows[:, 0])) + 1
+        span = min(max(span, 1), m)
+        starts = jnp.minimum(rows[:, 0],
+                             jnp.int32(m - span)).astype(jnp.int32)
+        lrows = (rows - starts[:, None]).astype(jnp.int32)
+        operands = (lrows,
+                    cols.reshape(n_chunks, event_chunk).astype(jnp.int32),
+                    vals.reshape(n_chunks, event_chunk), starts,
+                    jnp.zeros((span,), jnp.int8))
+        return MatmulOperator(shape=(m, n), mm_fn=_chunked_mm,
+                              rmm_fn=_chunked_rmm, operands=operands,
+                              dtype=self.vals.dtype)
+
     def row_nnz(self) -> jax.Array:
         ones = jnp.ones_like(self.vals)
         return jax.ops.segment_sum(ones, self.rows,

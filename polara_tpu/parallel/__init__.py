@@ -1,5 +1,6 @@
 from polara_tpu.parallel.distributed import (cholesky_qr2,
                                              distributed_randomized_svd,
+                                             distributed_chunked_rsvd,
                                              distributed_ials,
                                              distributed_bpr,
                                              distributed_hooi,
@@ -11,6 +12,7 @@ from polara_tpu.runtime.mesh import (make_mesh, user_sharding, shard_rows,
                                      use_mesh)
 
 __all__ = ["cholesky_qr2", "distributed_randomized_svd",
+           "distributed_chunked_rsvd",
            "distributed_ials", "distributed_bpr", "distributed_hooi",
            "score_mask_topk_step", "sharded_score_topk_2d",
            "full_train_step",

@@ -511,6 +511,169 @@ def distributed_hooi(idx: np.ndarray, val: np.ndarray, shape, core_shape,
                       growth_history=tuple(history))
 
 
+def _cholesky_qr2_psum(a: jax.Array, axis: str):
+    """CholeskyQR2 over a row-sharded panel inside ``shard_map``: the
+    (b × b) Gram is the only cross-device reduction (one psum per pass),
+    the triangular solve runs on local rows."""
+    def one(a):
+        gram = jax.lax.psum(a.T @ a, axis)
+        r = jnp.linalg.cholesky(gram).T
+        q = jax.scipy.linalg.solve_triangular(r, a.T, lower=False,
+                                              trans="T").T
+        return q, r
+
+    q1, r1 = one(a)
+    q2, r2 = one(q1)
+    return q2, r2 @ r1
+
+
+def _chunked_rsvd_local(lrows, cols, vals, starts, omega, *, axis: str,
+                        span: int, m_band: int, n_iter: int, k: int):
+    """Per-device body of :func:`distributed_chunked_rsvd`.
+
+    Each device owns a contiguous user-row band as a chunked event
+    stream (``(C_local, event_chunk)`` panels, local row ids).  The
+    power iteration alternates:
+
+    * ``A @ x``: shard-local scan (gather + sorted segment_sum per
+      chunk), output rows stay local — zero communication;
+    * ``Aᵀ @ y``: shard-local column reduction, then one (n × b) psum;
+    * row-panel QR via :func:`_cholesky_qr2_psum` (b × b Gram psum),
+      item-panel QR replicated (deterministic, identical on all
+      devices).
+
+    Per-iteration traffic is O(n·b + b²) — independent of both the user
+    count and nnz.
+    """
+    n, blk = omega.shape
+
+    def mm(x):                       # (n, blk) -> (m_band, blk) local
+        def body(acc, chunk):
+            lr, cl, vl, st = chunk
+            contrib = vl[:, None] * x[cl]
+            seg = jax.ops.segment_sum(contrib, lr, num_segments=span,
+                                      indices_are_sorted=True)
+            zero = jnp.zeros((), st.dtype)
+            cur = jax.lax.dynamic_slice(acc, (st, zero), (span, blk))
+            return jax.lax.dynamic_update_slice(acc, cur + seg,
+                                                (st, zero)), None
+
+        acc = jnp.zeros((m_band, blk), x.dtype)
+        acc, _ = jax.lax.scan(body, acc, (lrows, cols, vals, starts))
+        return acc
+
+    def rmm(y):                      # (m_band, blk) local -> (n, blk)
+        def body(acc, chunk):
+            lr, cl, vl, st = chunk
+            ys = jax.lax.dynamic_slice(y, (st, jnp.zeros((), st.dtype)),
+                                       (span, blk))
+            contrib = vl[:, None] * ys[lr]
+            return acc + jax.ops.segment_sum(contrib, cl,
+                                             num_segments=n), None
+
+        acc = jnp.zeros((n, blk), y.dtype)
+        acc, _ = jax.lax.scan(body, acc, (lrows, cols, vals, starts))
+        return jax.lax.psum(acc, axis)
+
+    q, _ = _cholesky_qr2_psum(mm(omega), axis)
+    for _ in range(n_iter):
+        z, _ = cholesky_qr2(rmm(q))      # replicated item-side panel
+        q, _ = _cholesky_qr2_psum(mm(z), axis)
+    b_mat = rmm(q).T                     # (blk, n) replicated
+    ub, s, vt = jnp.linalg.svd(b_mat, full_matrices=False)
+    return (q @ ub)[:, :k], s[:k], vt[:k, :].T
+
+
+def distributed_chunked_rsvd(rows: np.ndarray, cols: np.ndarray,
+                             vals: np.ndarray, shape, k: int, mesh: Mesh,
+                             oversample: Optional[int] = None,
+                             n_iter: int = 6, seed: int = 0,
+                             event_chunk: int = 1_000_000,
+                             dtype=jnp.float32) -> SvdResult:
+    """Randomized SVD of a beyond-HBM sparse matrix, events sharded over
+    the mesh.
+
+    The multi-chip tier of :func:`polara_tpu.ops.sparse.
+    chunked_coo_operator`: the user-row range splits into ``n_dev``
+    contiguous bands (one per device along the mesh's first axis); each
+    device stages its band's events as static chunk panels and the whole
+    subspace iteration runs inside ONE ``shard_map`` program — HBM per
+    device is ~nnz/n_dev events plus one (event_chunk, block)
+    contribution block, so the trainable problem grows linearly with the
+    mesh.  Math is identical to the single-device path with
+    ``qr_method="cholesky2"`` up to float reduction order
+    (mesh == single-device parity tested in ``tests/test_parallel.py``).
+
+    ``rows`` must be row-sorted (the data model's ``to_coo`` order);
+    numpy inputs are staged host-side — pass numpy, not device arrays,
+    to avoid a device→host round trip of the event stream.
+    """
+    from jax import shard_map
+
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    vals = np.asarray(vals)
+    nnz = len(rows)
+    if nnz == 0:
+        raise ValueError("empty matrix")
+    if not bool(np.all(np.diff(rows) >= 0)):
+        order = np.argsort(rows, kind="stable")
+        rows, cols, vals = rows[order], cols[order], vals[order]
+    m, n = (int(s) for s in shape)
+    if k <= 0 or k > min(m, n):
+        raise ValueError(f"rank {k} out of range for shape {(m, n)}")
+    blk = min(k + (oversample if oversample is not None else max(10, k)),
+              min(m, n))
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    m_band = -(-m // n_dev)
+    bounds = np.searchsorted(rows, np.arange(n_dev + 1) * m_band)
+    max_e = max(int((bounds[1:] - bounds[:-1]).max()), 1)
+    event_chunk = min(event_chunk, max_e)
+    c_local = -(-max_e // event_chunk)
+    e_pad = c_local * event_chunk
+
+    lrows_st = np.zeros((n_dev, c_local, event_chunk), np.int32)
+    cols_st = np.zeros((n_dev, c_local, event_chunk), np.int32)
+    vals_st = np.zeros((n_dev, c_local, event_chunk), np.float64)
+    for d in range(n_dev):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        lr = rows[lo:hi].astype(np.int64) - d * m_band
+        fill = int(lr[-1]) if hi > lo else 0
+        lr = np.concatenate([lr, np.full(e_pad - (hi - lo), fill,
+                                         np.int64)])
+        lrows_st[d] = lr.reshape(c_local, event_chunk)
+        cols_st[d, :, :].reshape(-1)[:hi - lo] = cols[lo:hi]
+        vals_st[d, :, :].reshape(-1)[:hi - lo] = vals[lo:hi]
+    span = int((lrows_st[:, :, -1] - lrows_st[:, :, 0]).max()) + 1
+    span = min(max(span, 1), m_band)
+    starts = np.minimum(lrows_st[:, :, 0], m_band - span).astype(np.int32)
+    lrows_st = lrows_st - starts[:, :, None]
+
+    def put(arr, dt):
+        flat = jnp.asarray(arr.reshape((n_dev * c_local,)
+                                       + arr.shape[2:]), dt)
+        return jax.device_put(flat, NamedSharding(mesh, P(axis)))
+
+    lrows_d = put(lrows_st, jnp.int32)
+    cols_d = put(cols_st, jnp.int32)
+    vals_d = put(vals_st, dtype)
+    starts_d = put(starts, jnp.int32)
+    omega = jax.device_put(
+        jax.random.normal(jax.random.key(seed), (n, blk), dtype=dtype),
+        NamedSharding(mesh, P()))
+
+    local = partial(_chunked_rsvd_local, axis=axis, span=span,
+                    m_band=m_band, n_iter=n_iter, k=k)
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(), P()), check_vma=False))
+    u, s, v = fn(lrows_d, cols_d, vals_d, starts_d, omega)
+    return SvdResult(u=u[:m], s=s, v=v)
+
+
 def sharded_score_topk_2d(item_factors: jax.Array, profiles: jax.Array,
                           topk: int, mesh: Mesh) -> jax.Array:
     """Tensor-parallel scoring over a 2-D (users × model) mesh.

@@ -101,6 +101,50 @@ class TestChunkedCooOperator:
         np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
                                    expect, rtol=1e-10)
 
+    def test_device_staged_chunked_operator(self):
+        """CooMatrix.chunked_operator (device prep) == host-staged
+        chunked_coo_operator == dense."""
+        csr, coo = self._coo(m=150, n=88, seed=9)
+        device = CooMatrix.from_numpy(coo.row, coo.col, coo.data,
+                                      coo.shape, dtype=jnp.float64)
+        op = device.chunked_operator(event_chunk=93)
+        x = np.random.RandomState(1).randn(csr.shape[1], 7)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   csr @ x, rtol=1e-10)
+        y = np.random.RandomState(2).randn(csr.shape[0], 4)
+        np.testing.assert_allclose(np.asarray(op.rmm(jnp.asarray(y))),
+                                   csr.T @ y, rtol=1e-10)
+
+    def test_svd_build_routes_past_budget_to_chunked(self):
+        """With a budget too small even for the plain COO intermediate,
+        SVDModel.build must route to the streaming operator and still
+        produce the same recommendations."""
+        from polara_tpu import config as defaults
+        from polara_tpu.data import RecommenderData
+        from polara_tpu.datasets import make_synthetic_interactions
+        from polara_tpu.models import SVDModel
+
+        df = make_synthetic_interactions(n_users=220, n_items=140,
+                                         n_events=5000, seed=13)
+        data = RecommenderData(df, "userid", "movieid", "rating")
+        data.prepare()
+        base = SVDModel(data)
+        base.rank = 10
+        recs_dense = np.asarray(base.recommendations)
+
+        old = defaults.get_default("hbm_score_budget_gb")
+        defaults.set_default("hbm_score_budget_gb", 1e-6)
+        try:
+            tiny = SVDModel(data)
+            tiny.rank = 10
+            tiny.build()
+            # the budget also gates a smaller scoring chunk plan; compare
+            # factors' spectra and the recommendations themselves
+            recs_chunked = np.asarray(tiny.recommendations)
+        finally:
+            defaults.set_default("hbm_score_budget_gb", old)
+        assert (recs_dense == recs_chunked).mean() > 0.98
+
     def test_rsvd_through_chunked_operator(self):
         csr, coo = self._coo(m=180, n=120, density=0.25, seed=7)
         op = chunked_coo_operator(coo.row, coo.col, coo.data, coo.shape,

@@ -222,6 +222,22 @@ def test_kernel_fold_multi_tile_small_tiles():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("tile_n", [128, 4096])
+def test_pack_seen_bits_device_parity(tile_n):
+    """Device scatter-add pack == host pack, bit for bit (unique pairs)."""
+    from polara_tpu.ops.pallas import pack_seen_bits_device
+    rs = np.random.RandomState(5)
+    n_rows, n_cols = 37, 900
+    flat = rs.choice(n_rows * n_cols, size=1500, replace=False)
+    rows = (flat // n_cols).astype(np.int32)
+    cols = (flat % n_cols).astype(np.int32)
+    host = pack_seen_bits(rows, cols, n_rows, n_cols, tile_n=tile_n)
+    dev = np.asarray(pack_seen_bits_device(
+        jnp.asarray(rows), jnp.asarray(cols), n_rows, n_cols,
+        tile_n=tile_n))
+    np.testing.assert_array_equal(dev, host.astype(dev.dtype))
+
+
 def test_kernel_fold_tile_guard():
     proj, items, _, _ = _random_case(30)
     bits = jnp.zeros((proj.shape[0], 32), jnp.uint32)

@@ -43,6 +43,32 @@ def test_distributed_rsvd_matches_single_device(mesh):
     assert principal_angles_max_sin(res_dist.v, res_local.v) < 1e-6
 
 
+def test_distributed_chunked_rsvd_matches_single_device(mesh):
+    """Event-sharded streaming rSVD == single-device rSVD on the same
+    draws (identical math modulo float reduction order).  Geometry is
+    deliberately non-divisible by the mesh and the chunk size."""
+    from polara_tpu.parallel import distributed_chunked_rsvd
+    import scipy.sparse as sp
+
+    rs = np.random.RandomState(3)
+    m, n, k = 301, 83, 7
+    csr = sp.random(m, n, density=0.2, random_state=rs,
+                    data_rvs=lambda s: rs.randint(1, 6, s).astype(float))
+    coo = csr.tocoo()
+    res_dist = distributed_chunked_rsvd(
+        coo.row, coo.col, coo.data.astype(np.float64), (m, n), k,
+        mesh, n_iter=40, seed=0, event_chunk=97, dtype=jnp.float64)
+    res_local = randomized_svd(jnp.asarray(csr.toarray(), jnp.float64), k,
+                               n_iter=40, seed=0, dtype=jnp.float64,
+                               qr_method="cholesky2")
+    np.testing.assert_allclose(np.asarray(res_dist.s),
+                               np.asarray(res_local.s), rtol=1e-9)
+    assert principal_angles_max_sin(res_dist.v, res_local.v) < 1e-7
+    assert res_dist.u.shape == (m, k)
+    # left factors agree up to the same tolerance
+    assert principal_angles_max_sin(res_dist.u, res_local.u) < 1e-7
+
+
 def test_full_train_step_runs_sharded(mesh):
     rs = np.random.RandomState(2)
     n_users, n_items, k, topk = 64, 40, 4, 5
