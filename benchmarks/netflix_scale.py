@@ -21,6 +21,7 @@ pick agreement on a user slice) are the correctness evidence.
 Prints ONE JSON line on stdout (progress on stderr).
 """
 import json
+import os
 import sys
 import time
 
@@ -34,18 +35,140 @@ import jax
 import jax.numpy as jnp
 
 from polara_tpu.datasets.synthetic import NETFLIX_GEOMETRY, load_or_make_netflix
-from polara_tpu.ops.rsvd import randomized_svd
+from polara_tpu.ops.rsvd import randomized_svd_krylov
 from polara_tpu.ops.sparse import chunked_coo_operator
 
 N_USERS = NETFLIX_GEOMETRY["n_users"]
 N_ITEMS = NETFLIX_GEOMETRY["n_items"]
-RANK, TOPK, POWER_ITERS = 50, 10, 6
+# Block-Krylov (Musco-Musco) is the right solver at this tier: every
+# pass over the 98M-event stream costs ~2.4s (mm+rmm), and Krylov
+# reaches a BETTER residual than 6-iteration subspace power in roughly
+# half the passes (measured A/B: krylov depth=3 7.97s/2.23e-3 vs
+# subspace n_iter=6 14.2s/2.48e-3, n_iter=4 10.2s/2.64e-3).  The dense
+# ML-10M headline keeps subspace iteration (there HBM passes are cheap
+# and its residual floor is lower).
+RANK, TOPK, KRYLOV_DEPTH = 50, 10, 3
 EVENT_CHUNK = 4_000_000
 VERIFY_USERS = 2048
+EXACT_CACHE = "/tmp/polara_tpu_bench_netflix_v1_exact50.npz"
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def _holdout_split(rows, seed=7):
+    """One seeded held-out event per user (rows sorted)."""
+    uniq, start, counts = np.unique(rows, return_index=True,
+                                    return_counts=True)
+    rs = np.random.RandomState(seed)
+    pick = start + (rs.rand(len(uniq)) * counts).astype(np.int64)
+    hold_mask = np.zeros(len(rows), dtype=bool)
+    hold_mask[pick] = True
+    return pick, hold_mask
+
+
+def _exact_reference_v(rows, cols, vals, hold_mask):
+    """Rank-RANK f64 ARPACK item factors of the train split, cached
+    (several minutes on the throttled host, once per workload)."""
+    if os.path.exists(EXACT_CACHE):
+        data = np.load(EXACT_CACHE)
+        if data["nnz"] == int((~hold_mask).sum()):
+            return data["v"]
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import svds
+    keep = ~hold_mask
+    matrix = sp.csr_matrix(
+        (vals[keep].astype(np.float64), (rows[keep], cols[keep])),
+        shape=(N_USERS, N_ITEMS))
+    t0 = time.perf_counter()
+    v0 = np.random.RandomState(0).randn(min(matrix.shape))
+    _, s, vt = svds(matrix, k=RANK, v0=v0)
+    v = vt[np.argsort(s)[::-1]].T.copy()
+    log(f"exact f64 ARPACK factorization: {time.perf_counter() - t0:.0f}s "
+        "(cached)")
+    np.savez(EXACT_CACHE, v=v, nnz=int(keep.sum()))
+    return v
+
+
+def exact_factor_study(rows, cols, vals, use_fused):
+    """Metric-level delta of the f32 streaming factorization vs an exact
+    f64 ARPACK factorization of the same train split — the bench.py
+    north-star closure, at 10x the events (no dense block anywhere)."""
+    import jax.numpy as jnp
+    from polara_tpu.ops.rsvd import randomized_svd_krylov
+    from polara_tpu.ops.sparse import chunked_coo_operator
+
+    pick, hold_mask = _holdout_split(rows)
+    hold_items = cols[pick]
+    vals_train = vals.copy()
+    vals_train[pick] = 0.0          # zero-valued events contribute nothing
+    op_train = chunked_coo_operator(rows, cols, vals_train,
+                                    (N_USERS, N_ITEMS),
+                                    event_chunk=EVENT_CHUNK,
+                                    assume_sorted=True)
+    v_exact = _exact_reference_v(rows, cols, vals, hold_mask)
+    result = randomized_svd_krylov(op_train, RANK, depth=KRYLOV_DEPTH,
+                                   seed=0, dtype=jnp.float32)
+
+    keep = ~hold_mask
+    if not use_fused:  # pragma: no cover - CPU would need a chunked top-k
+        raise SystemExit("exact study requires the fused TPU backend")
+    from polara_tpu.ops.pallas import (fused_score_topk,
+                                       pack_seen_bits_device)
+    bits = pack_seen_bits_device(jnp.asarray(rows[keep]),
+                                 jnp.asarray(cols[keep]),
+                                 N_USERS, N_ITEMS)
+
+    import jax
+
+    # NOTE: the operator and the bitmask travel as jit ARGUMENTS — as
+    # closure constants their ~3.5 GB would be baked into the program
+    # and stall lowering for minutes (repo convention, CLAUDE.md)
+    @jax.jit
+    def study(op, bits, v_f32, v_ex, target):
+        def recs_for(v_panel):
+            proj = op.mm(v_panel)
+            return fused_score_topk(proj, v_panel, bits, TOPK,
+                                    filter_seen=True,
+                                    n_valid_cols=N_ITEMS)
+
+        def hr_ndcg(recs, target):
+            hit = recs == target
+            found = hit.any(axis=1)
+            rank = jnp.where(found, jnp.argmax(hit, axis=1) + 1, 0)
+            hr = jnp.mean(found)
+            ndcg = jnp.mean(jnp.where(
+                found, 1.0 / jnp.log2(1.0 + jnp.maximum(rank, 1)), 0.0))
+            return hr, ndcg
+
+        recs_a = recs_for(v_f32)
+        recs_b = recs_for(v_ex)
+        target = target[:, None]
+        hr_a, ndcg_a = hr_ndcg(recs_a, target)
+        hr_b, ndcg_b = hr_ndcg(recs_b, target)
+        overlap = jnp.mean(jnp.sum(
+            (recs_a[:, :, None] == recs_b[:, None, :])
+            & (recs_a >= 0)[:, :, None], axis=(1, 2)) / TOPK)
+        return jnp.stack([hr_a, ndcg_a, hr_b, ndcg_b, overlap])
+
+    out = np.asarray(study(op_train, bits, result.v,
+                           jnp.asarray(v_exact, jnp.float32),
+                           jnp.asarray(hold_items)))
+    hr_f32, ndcg_f32, hr_ex, ndcg_ex, overlap = (float(x) for x in out)
+    delta = max(abs(hr_f32 - hr_ex), abs(ndcg_f32 - ndcg_ex))
+    log(f"exact-factor study (1 held-out event/user): "
+        f"HR@{TOPK} f32={hr_f32:.5f} exact={hr_ex:.5f}; "
+        f"NDCG@{TOPK} f32={ndcg_f32:.5f} exact={ndcg_ex:.5f}; "
+        f"top-{TOPK} overlap {overlap:.5f}")
+    return {
+        "hr10_f32": round(hr_f32, 6),
+        "hr10_exact": round(hr_ex, 6),
+        "ndcg10_f32": round(ndcg_f32, 6),
+        "ndcg10_exact": round(ndcg_ex, 6),
+        "metric_delta_vs_exact": round(delta, 6),
+        "top10_overlap": round(overlap, 6),
+    }
 
 
 def main():
@@ -75,8 +198,8 @@ def main():
     to_i16 = jax.jit(lambda r: r.astype(jnp.int16))
 
     def build_and_score(op):
-        result = randomized_svd(op, RANK, n_iter=POWER_ITERS, seed=0,
-                                dtype=jnp.float32)
+        result = randomized_svd_krylov(op, RANK, depth=KRYLOV_DEPTH,
+                                       seed=0, dtype=jnp.float32)
         proj = op.mm(result.v)                        # (users, rank)
         if use_fused:
             recs_dev = fused_score_topk(proj, result.v, seen_bits, TOPK,
@@ -141,6 +264,9 @@ def main():
         log(f"fused vs xla on {VERIFY_USERS} users: max relative score "
             f"gap {max_gap:.2e} -> fused_ok={fused_ok}")
 
+    exact = exact_factor_study(rows, cols, vals, use_fused) \
+        if use_fused else {}
+
     print(json.dumps({
         "metric": "netflix_puresvd50_build_plus_score_top10",
         "value": round(best, 3),
@@ -151,6 +277,7 @@ def main():
         "nnz": nnz,
         "users_per_sec": round(N_USERS / best),
         "dense_f32_gib": round(N_USERS * N_ITEMS * 4 / 2**30, 1),
+        **exact,
     }))
 
 

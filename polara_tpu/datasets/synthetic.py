@@ -175,7 +175,8 @@ def make_realistic_coo_device(n_users: int, n_items: int, n_events: int,
                               popularity_bias: float = 0.15,
                               rating_hist=ML1M_RATING_HIST,
                               min_events_per_user: int = 5,
-                              seed: int = 0, row_chunk: int = 8192):
+                              seed: int = 0, row_chunk: int = 8192,
+                              log=None):
     """Device-side counterpart of :func:`make_realistic_coo`.
 
     Same calibration (Zipf margins, slow-decay latent spectrum,
@@ -235,7 +236,10 @@ def make_realistic_coo_device(n_users: int, n_items: int, n_events: int,
     width = max(takes)  # one compiled event width for every chunk
     rows_parts, cols_parts, score_parts = [], [], []
     keys = jax.random.split(k_gumbel, len(starts))
+    report_every = max(1, len(starts) // 8)
     for c, start in enumerate(starts):
+        if log is not None and c % report_every == 0:
+            log(f"  generating user chunk {c + 1}/{len(starts)}")
         stop = min(start + row_chunk, n_users)
         take = takes[c]
         # pad the user block so every chunk reuses one executable
@@ -297,7 +301,9 @@ def load_or_make_benchmark_coo(geometry: dict, cache_path: str,
         with np.load(cache_path) as blob:
             return blob["rows"], blob["cols"], blob["vals"]
     say(f"generating calibrated workload on device (one-time): {geometry}")
-    rows, cols, vals = make_realistic_coo_device(seed=seed, **geometry)
+    rows, cols, vals = make_realistic_coo_device(seed=seed, log=log,
+                                                 **geometry)
+    say("assembling/caching the event stream on the host")
     try:
         np.savez(cache_path, rows=rows, cols=cols,
                  vals=vals.astype(np.float32))

@@ -95,8 +95,31 @@ class ImplicitALS(_RankedFactorModel):
         self.method = "iALS"
 
     def build(self):
-        dense = self.get_training_matrix(dense=True)
         mesh = self.active_mesh
+        # beyond the HBM budget the dense ratings block cannot exist —
+        # route to the streaming tile-aligned event sweeps (same math,
+        # see ops.implicit.ials_train_events)
+        from polara_tpu import config as defaults
+        coo = self.get_training_matrix()
+        budget = defaults.get_default("hbm_score_budget_gb") * 2**30
+        if mesh is not None:
+            budget *= mesh.devices.size
+        dense_bytes = (coo.shape[0] * coo.shape[1]
+                       * jnp.dtype(self.compute_dtype).itemsize)
+        if dense_bytes > budget:
+            from polara_tpu.ops.implicit import ials_train_events
+            with track_time(self.training_time, verbose=self.verbose,
+                            model=self.method):
+                result = jax.block_until_ready(ials_train_events(
+                    coo.rows, coo.cols, coo.vals, coo.shape, self.rank,
+                    alpha=self.alpha, weight=self.weight_func,
+                    epsilon=self.epsilon, reg=self.regularization,
+                    num_epochs=self.num_epochs, seed=self.seed,
+                    dtype=self.compute_dtype))
+            self.factors[self.data.fields.userid] = result.user
+            self.factors[self.data.fields.itemid] = result.item
+            return
+        dense = self.get_training_matrix(dense=True)
         with track_time(self.training_time, verbose=self.verbose,
                         model=self.method):
             if mesh is not None:

@@ -145,12 +145,33 @@ class SVDModel(RecommenderModel):
                         cache[lo_key] = power_op
             else:
                 # even the COO operator has a per-matmul (nnz, block)
-                # intermediate; past the budget, stream it in chunks
+                # intermediate; past the budget, stream it in chunks —
+                # and under a mesh, shard the event stream into
+                # user-row bands (one shard_map program, panel-sized
+                # collectives only)
                 block = self.rank + (self.svd_oversample
                                      if self.svd_oversample is not None
                                      else max(10, self.rank))
                 coo_bytes = (matrix.nnz * block
                              * jnp.dtype(self.compute_dtype).itemsize)
+                if coo_bytes > budget and mesh is not None:
+                    from polara_tpu.parallel.distributed import \
+                        distributed_chunked_rsvd
+                    with track_time(self.training_time,
+                                    verbose=self.verbose,
+                                    model=self.method):
+                        result = jax.block_until_ready(
+                            distributed_chunked_rsvd(
+                                np.asarray(matrix.rows),
+                                np.asarray(matrix.cols),
+                                np.asarray(matrix.vals), matrix.shape,
+                                self.rank, mesh,
+                                oversample=self.svd_oversample,
+                                n_iter=self.svd_iters, seed=self.seed,
+                                tol=self.svd_tol,
+                                dtype=jnp.dtype(self.compute_dtype)))
+                    self._store_factors(result, return_factors)
+                    return
                 if coo_bytes > budget:
                     svd_matrix = matrix.chunked_operator()
                 else:
@@ -178,9 +199,14 @@ class SVDModel(RecommenderModel):
                     power_operator=power_op)
             result = jax.block_until_ready(result)
 
+        self._store_factors(result, return_factors, true_rows)
+
+    def _store_factors(self, result, return_factors: str,
+                       true_rows: Optional[int] = None) -> None:
         userid, itemid, _ = self.data.fields
         u = result.u if "u" in return_factors else None
-        if u is not None and true_rows is not None and u.shape[0] != true_rows:
+        if u is not None and true_rows is not None \
+                and u.shape[0] != true_rows:
             u = u[:true_rows]
         self.factors[userid] = u
         self.factors[itemid] = result.v

@@ -213,6 +213,198 @@ def _ials_sweep(dense, other, alpha, epsilon, reg, weight: WeightFn,
     return jax.lax.fori_loop(0, n_batches, body, out)
 
 
+class EllSide(NamedTuple):
+    """Tile-aligned event stream for one half-sweep of the streaming
+    iALS (see :func:`ials_train_events`).
+
+    Every entity's event list is padded to a multiple of ``tile`` and
+    laid out contiguously, so each tile of ``tile`` events belongs to
+    exactly one entity — per-tile normal-equation contributions become
+    batched MXU matmuls, and the per-entity reduction is a tiny
+    ``segment_sum`` over tile owners instead of a scatter over events.
+    Entities batch in natural order (events are sorted by entity), each
+    batch covering a clamped static window of ``tb`` tiles; tiles inside
+    the window that belong to another batch map to a dump segment.
+    """
+    minor: jax.Array        # (e_pad,) int32 — other-side ids, 0 on padding
+    w: jax.Array            # (e_pad,) float — C-1 margins, 0 on padding
+    starts: jax.Array       # (n_batches,) int32 — tile offset per batch
+    ent_starts: jax.Array   # (n_batches,) int32 — first entity per batch
+    owner_local: jax.Array  # (n_batches, tb) int32 in [0, batch_entities]
+    n_entities: int
+    batch_entities: int
+    tile: int
+
+
+def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
+                      n_major: int, tile: int = 128,
+                      batch_entities: int = 4096) -> EllSide:
+    """Device-side staging of one :class:`EllSide`.
+
+    ``maj`` must be sorted ascending (sort on device first for the
+    column side).  Two tiny host syncs fix the static padded-event and
+    window-tile counts.
+    """
+    import math as _math
+
+    nnz = maj.shape[0]
+    maj = maj.astype(jnp.int32)
+    ones = jnp.ones((nnz,), jnp.int32)
+    counts = jax.ops.segment_sum(ones, maj, num_segments=n_major,
+                                 indices_are_sorted=True)
+    pc = -(-counts // tile) * tile                 # tile-padded counts
+    base = jnp.cumsum(pc) - pc                     # dest base per entity
+    ev_start = jnp.cumsum(counts) - counts
+    pos = jnp.arange(nnz, dtype=jnp.int32) - ev_start[maj]
+    dst = base[maj] + pos
+    e_pad = int(jnp.sum(pc))                       # host sync (scalar)
+    if e_pad == 0:
+        raise ValueError("empty event stream")
+    minor_p = jnp.zeros((e_pad,), jnp.int32).at[dst].set(
+        minor.astype(jnp.int32), unique_indices=True)
+    w_p = jnp.zeros((e_pad,), cm1.dtype).at[dst].set(
+        cm1, unique_indices=True)
+
+    tiles_per = pc // tile
+    n_tiles = e_pad // tile
+    owner = jnp.repeat(jnp.arange(n_major, dtype=jnp.int32), tiles_per,
+                       total_repeat_length=n_tiles)
+    ent_tile_start = jnp.cumsum(tiles_per) - tiles_per
+
+    batch_entities = min(batch_entities, n_major)
+    n_batches = -(-n_major // batch_entities)
+    ent_starts = np.minimum(np.arange(n_batches) * batch_entities,
+                            n_major - batch_entities).astype(np.int32)
+    ent_starts_d = jnp.asarray(ent_starts)
+    raw_start = ent_tile_start[ent_starts_d]
+    ent_end = ent_starts_d + batch_entities          # <= n_major
+    end_tiles = jnp.where(
+        ent_end < n_major,
+        ent_tile_start[jnp.minimum(ent_end, n_major - 1)], n_tiles)
+    tb = int(jnp.max(end_tiles - raw_start))      # host sync (scalar)
+    tb = max(tb, 1)
+    starts = jnp.minimum(raw_start, n_tiles - tb).astype(jnp.int32)
+    idx = starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]
+    ol = owner[idx] - ent_starts_d[:, None]
+    ol = jnp.where((ol >= 0) & (ol < batch_entities), ol,
+                   batch_entities).astype(jnp.int32)
+    return EllSide(minor=minor_p, w=w_p, starts=starts,
+                   ent_starts=ent_starts_d, owner_local=ol,
+                   n_entities=n_major, batch_entities=batch_entities,
+                   tile=tile)
+
+
+@partial(jax.jit, static_argnames=("n_entities", "batch_entities",
+                                   "tile"))
+def _ell_half_sweep(minor_p, w_p, starts, ent_starts, owner_local, other,
+                    reg, n_entities: int, batch_entities: int, tile: int):
+    """One streaming half-sweep: solve every entity's k×k normal system
+    from its tile-aligned events.
+
+    Per batch window: gather the other side's factor rows for the
+    window's events, form per-tile Gram/rhs contributions as batched
+    matmuls (MXU — this is where the nnz·k² flops live), segment-sum the
+    (tile-count × k × k) contributions by local owner, and run one
+    vmapped Cholesky solve.  Peak live memory is one (tb·tile, k) gather
+    window — independent of nnz.
+    """
+    k = other.shape[1]
+    tb = owner_local.shape[1]
+    gram = other.T @ other + reg * jnp.eye(k, dtype=other.dtype)
+
+    def body(out, batch):
+        st, ent0, ol = batch
+        ev0 = st * tile
+        msl = jax.lax.dynamic_slice(minor_p, (ev0,), (tb * tile,))
+        wsl = jax.lax.dynamic_slice(w_p, (ev0,), (tb * tile,))
+        y = other[msl].reshape(tb, tile, k)
+        yw = y * wsl.reshape(tb, tile)[..., None]
+        gt = jnp.einsum("btk,btl->bkl", yw, y)
+        rw = (wsl + (wsl > 0)).reshape(tb, tile)
+        rt = jnp.einsum("btk,bt->bk", y, rw)
+        g = jax.ops.segment_sum(gt, ol,
+                                num_segments=batch_entities + 1)
+        r = jax.ops.segment_sum(rt, ol,
+                                num_segments=batch_entities + 1)
+        a = gram[None] + g[:batch_entities]
+        chol = jax.scipy.linalg.cho_factor(a)
+        x = jax.scipy.linalg.cho_solve(chol,
+                                       r[:batch_entities][..., None])[..., 0]
+        zero = jnp.zeros((), ent0.dtype)
+        return jax.lax.dynamic_update_slice(out, x, (ent0, zero)), None
+
+    out = jnp.zeros((n_entities, k), other.dtype)
+    out, _ = jax.lax.scan(body, out, (starts, ent_starts, owner_local))
+    return out
+
+
+def ials_train_events(rows: np.ndarray, cols: np.ndarray,
+                      vals: np.ndarray, shape, rank: int,
+                      alpha: float = 1.0, weight: WeightFn = "log2",
+                      epsilon: float = 1.0, reg: float = 0.01,
+                      num_epochs: int = 15, seed: Optional[int] = 0,
+                      tile: int = 128, batch_entities: int = 4096,
+                      dtype=jnp.float32) -> ImplicitFactors:
+    """Streaming iALS over the raw event stream — the beyond-HBM tier.
+
+    :func:`ials_train` recomputes the dense ``C - 1`` margin per batch,
+    which requires the dense ratings block in HBM; at Netflix scale
+    (~32 GiB f32) that is impossible on one chip.  Here each half-sweep
+    assembles every entity's normal equations from its own events only
+    (the classic implicit-feedback identity ``YᵀC_uY = YᵀY + Σ_e
+    (c_e−1) y_e y_eᵀ``, reference ``ialswrapper.py:46-60``), organized
+    TPU-first: tile-aligned event panels make the nnz·k² Gram work
+    batched MXU matmuls rather than scatters (see :class:`EllSide`).
+    Same init, sweep order and fixed epoch count as :func:`ials_train`
+    — parity is float-reduction-order level on shared workloads.
+
+    Callable confidence weights are applied eagerly on the event values
+    (they cannot run under jit).
+    """
+    weight = canonical_weight(weight)
+    n_users, n_items = (int(s) for s in shape)
+    nnz = len(vals)
+    if nnz == 0:
+        raise ValueError("empty matrix")
+
+    rows_d = jnp.asarray(rows, jnp.int32)
+    cols_d = jnp.asarray(cols, jnp.int32)
+    vals_d = jnp.asarray(vals, dtype)
+    # staging is eager, so callable weights work here directly (the
+    # dense path must special-case them out of its jitted sweeps)
+    cm1 = confidence(vals_d, alpha, weight, epsilon)
+
+    if not bool(jnp.all(jnp.diff(rows_d) >= 0)):
+        order = jnp.argsort(rows_d, stable=True)
+        rows_d, cols_d, cm1 = rows_d[order], cols_d[order], cm1[order]
+    user_side = stage_events_side(rows_d, cols_d, cm1, n_users,
+                                  tile=tile,
+                                  batch_entities=batch_entities)
+    corder = jnp.argsort(cols_d, stable=True)
+    item_side = stage_events_side(cols_d[corder], rows_d[corder],
+                                  cm1[corder], n_items, tile=tile,
+                                  batch_entities=min(batch_entities,
+                                                     n_items))
+
+    key = jax.random.key(0 if seed is None else seed)
+    item_factors = (jax.random.normal(key, (n_items, rank), dtype)
+                    * (1.0 / math.sqrt(rank)))
+    user_factors = jnp.zeros((n_users, rank), dtype)
+    reg_d = jnp.asarray(reg, dtype)
+
+    def half(side: EllSide, other):
+        return _ell_half_sweep(side.minor, side.w, side.starts,
+                               side.ent_starts, side.owner_local, other,
+                               reg_d, n_entities=side.n_entities,
+                               batch_entities=side.batch_entities,
+                               tile=side.tile)
+
+    for _ in range(num_epochs):
+        user_factors = half(user_side, item_factors)
+        item_factors = half(item_side, user_factors)
+    return ImplicitFactors(user=user_factors, item=item_factors)
+
+
 @partial(jax.jit, static_argnames=("weight", "num_epochs", "batch_user",
                                    "batch_item"))
 def _ials_epochs(dense, user_factors, item_factors, alpha, epsilon, reg,

@@ -193,35 +193,13 @@ class CooMatrix:
     def chunked_operator(self, event_chunk: int = 4_000_000
                          ) -> MatmulOperator:
         """Streaming operator over this matrix's events (see
-        :func:`chunked_coo_operator`) staged on device — the arrays are
-        already resident and row-sorted, so the prep is a reshape plus
-        one tiny host sync for the static chunk span."""
-        nnz = self.nnz
-        if nnz == 0:
+        :func:`chunked_coo_operator`) — the arrays are already resident
+        and row-sorted, so staging is a device-side reshape plus one
+        tiny host sync for the static chunk span."""
+        if self.nnz == 0:
             raise ValueError("empty matrix")
-        m, n = self.shape
-        event_chunk = min(event_chunk, nnz)
-        n_chunks = -(-nnz // event_chunk)
-        pad = n_chunks * event_chunk - nnz
-        rows, cols, vals = self.rows, self.cols, self.vals
-        if pad:
-            rows = jnp.concatenate([rows, jnp.broadcast_to(rows[-1],
-                                                           (pad,))])
-            cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
-            vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
-        rows = rows.reshape(n_chunks, event_chunk)
-        span = int(jnp.max(rows[:, -1] - rows[:, 0])) + 1
-        span = min(max(span, 1), m)
-        starts = jnp.minimum(rows[:, 0],
-                             jnp.int32(m - span)).astype(jnp.int32)
-        lrows = (rows - starts[:, None]).astype(jnp.int32)
-        operands = (lrows,
-                    cols.reshape(n_chunks, event_chunk).astype(jnp.int32),
-                    vals.reshape(n_chunks, event_chunk), starts,
-                    jnp.zeros((span,), jnp.int8))
-        return MatmulOperator(shape=(m, n), mm_fn=_chunked_mm,
-                              rmm_fn=_chunked_rmm, operands=operands,
-                              dtype=self.vals.dtype)
+        return _stage_chunked(self.rows, self.cols.astype(jnp.int32),
+                              self.vals, self.shape, event_chunk)
 
     def row_nnz(self) -> jax.Array:
         ones = jnp.ones_like(self.vals)
@@ -323,41 +301,53 @@ def chunked_coo_operator(rows: np.ndarray, cols: np.ndarray,
 
     Replaces the reference's out-of-core posture (scipy CSR kept on the
     host, ``polara/lib/sparse.py:35-141``) for beyond-HBM matrices.
+
+    Staging runs on device: raw event arrays upload once and the
+    pad/reshape/local-row arithmetic is device work (at ~100M events the
+    host copies alone cost minutes on a slow host), with one tiny host
+    sync for the static chunk span.
     """
-    rows = np.asarray(rows)
-    cols = np.asarray(cols)
-    vals = np.asarray(vals)
     nnz = len(rows)
     if nnz == 0:
         raise ValueError("empty matrix")
-    if not assume_sorted and not bool(np.all(np.diff(rows) >= 0)):
-        order = np.argsort(rows, kind="stable")
+    rows = jnp.asarray(rows, jnp.int32)
+    cols = jnp.asarray(cols, jnp.int32)
+    vals = jnp.asarray(vals, dtype)
+    if not assume_sorted and not bool(jnp.all(jnp.diff(rows) >= 0)):
+        order = jnp.argsort(rows, stable=True)
         rows, cols, vals = rows[order], cols[order], vals[order]
-    m, n = (int(s) for s in shape)
+    return _stage_chunked(rows, cols, vals, shape, event_chunk)
 
+
+def _stage_chunked(rows: jax.Array, cols: jax.Array, vals: jax.Array,
+                   shape: Tuple[int, int],
+                   event_chunk: int) -> MatmulOperator:
+    """Device-side staging shared by :func:`chunked_coo_operator` and
+    :meth:`CooMatrix.chunked_operator` (rows must be sorted)."""
+    m, n = (int(s) for s in shape)
+    nnz = rows.shape[0]
     event_chunk = min(event_chunk, nnz)
     n_chunks = -(-nnz // event_chunk)
     pad = n_chunks * event_chunk - nnz
     if pad:
         # padding events replicate the last row with value 0 — they land
         # inside the final chunk's span and contribute nothing
-        rows = np.concatenate([rows, np.full(pad, rows[-1], rows.dtype)])
-        cols = np.concatenate([cols, np.zeros(pad, cols.dtype)])
-        vals = np.concatenate([vals, np.zeros(pad, vals.dtype)])
+        rows = jnp.concatenate([rows,
+                                jnp.broadcast_to(rows[-1], (pad,))])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
     rows = rows.reshape(n_chunks, event_chunk)
-    span = int((rows[:, -1] - rows[:, 0]).max()) + 1
+    span = int(jnp.max(rows[:, -1] - rows[:, 0])) + 1   # tiny host sync
     span = min(max(span, 1), m)
-    starts = np.minimum(rows[:, 0], m - span).astype(np.int32)
-    lrows = (rows - starts[:, None]).astype(np.int32)
+    starts = jnp.minimum(rows[:, 0], jnp.int32(m - span)).astype(jnp.int32)
+    lrows = (rows - starts[:, None]).astype(jnp.int32)
 
-    operands = (jnp.asarray(lrows),
-                jnp.asarray(cols.reshape(n_chunks, event_chunk), jnp.int32),
-                jnp.asarray(vals.reshape(n_chunks, event_chunk), dtype),
-                jnp.asarray(starts),
+    operands = (lrows, cols.reshape(n_chunks, event_chunk),
+                vals.reshape(n_chunks, event_chunk), starts,
                 jnp.zeros((span,), jnp.int8))
     return MatmulOperator(shape=(m, n), mm_fn=_chunked_mm,
                           rmm_fn=_chunked_rmm, operands=operands,
-                          dtype=jnp.dtype(dtype))
+                          dtype=vals.dtype)
 
 
 def dense_from_coo(idx: np.ndarray, val: np.ndarray,

@@ -528,7 +528,8 @@ def _cholesky_qr2_psum(a: jax.Array, axis: str):
 
 
 def _chunked_rsvd_local(lrows, cols, vals, starts, omega, *, axis: str,
-                        span: int, m_band: int, n_iter: int, k: int):
+                        span: int, m_band: int, n_iter: int, k: int,
+                        tol: Optional[float] = None, max_iter: int = 100):
     """Per-device body of :func:`distributed_chunked_rsvd`.
 
     Each device owns a contiguous user-row band as a chunked event
@@ -576,9 +577,30 @@ def _chunked_rsvd_local(lrows, cols, vals, starts, omega, *, axis: str,
         return jax.lax.psum(acc, axis)
 
     q, _ = _cholesky_qr2_psum(mm(omega), axis)
-    for _ in range(n_iter):
-        z, _ = cholesky_qr2(rmm(q))      # replicated item-side panel
-        q, _ = _cholesky_qr2_psum(mm(z), axis)
+    if tol is None:
+        for _ in range(n_iter):
+            z, _ = cholesky_qr2(rmm(q))  # replicated item-side panel
+            q, _ = _cholesky_qr2_psum(mm(z), axis)
+    else:
+        # iterate until the top-k singular estimates stabilize — the
+        # estimates derive from the psum'd Gram, so every device reaches
+        # the identical stop decision (mirrors ops.rsvd._power_until)
+        def cond(carry):
+            _, _, i, done = carry
+            return jnp.logical_and(~done, i < max_iter)
+
+        def body(carry):
+            q, s_prev, i, _ = carry
+            z, rz = cholesky_qr2(rmm(q))
+            s_top = jnp.abs(jnp.diagonal(rz))[:k]
+            q, _ = _cholesky_qr2_psum(mm(z), axis)
+            rel = jnp.max(jnp.abs(s_top - s_prev)
+                          / jnp.maximum(jnp.abs(s_top), 1e-30))
+            return q, s_top, i + 1, rel < tol
+
+        q, _, _, _ = jax.lax.while_loop(
+            cond, body, (q, jnp.full((k,), jnp.inf, q.dtype),
+                         jnp.asarray(0), jnp.asarray(False)))
     b_mat = rmm(q).T                     # (blk, n) replicated
     ub, s, vt = jnp.linalg.svd(b_mat, full_matrices=False)
     return (q @ ub)[:, :k], s[:k], vt[:k, :].T
@@ -589,6 +611,8 @@ def distributed_chunked_rsvd(rows: np.ndarray, cols: np.ndarray,
                              oversample: Optional[int] = None,
                              n_iter: int = 6, seed: int = 0,
                              event_chunk: int = 1_000_000,
+                             tol: Optional[float] = None,
+                             max_iter: int = 100,
                              dtype=jnp.float32) -> SvdResult:
     """Randomized SVD of a beyond-HBM sparse matrix, events sharded over
     the mesh.
@@ -606,7 +630,11 @@ def distributed_chunked_rsvd(rows: np.ndarray, cols: np.ndarray,
 
     ``rows`` must be row-sorted (the data model's ``to_coo`` order);
     numpy inputs are staged host-side — pass numpy, not device arrays,
-    to avoid a device→host round trip of the event stream.
+    to avoid a device→host round trip of the event stream.  ``tol``
+    enables the single-device stabilization stopping rule (estimates
+    derive from the psum'd Gram, so all devices stop together); block
+    auto-escalation is not available on the mesh path — the block is
+    fixed at ``k + oversample``.
     """
     from jax import shard_map
 
@@ -665,7 +693,9 @@ def distributed_chunked_rsvd(rows: np.ndarray, cols: np.ndarray,
         NamedSharding(mesh, P()))
 
     local = partial(_chunked_rsvd_local, axis=axis, span=span,
-                    m_band=m_band, n_iter=n_iter, k=k)
+                    m_band=m_band, n_iter=n_iter, k=k,
+                    tol=None if tol is None else float(tol),
+                    max_iter=max_iter)
     fn = jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),

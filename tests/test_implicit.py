@@ -76,6 +76,94 @@ def test_ials_training_reduces_loss():
     assert wls_loss(many) < wls_loss(few)
 
 
+class TestIalsTrainEvents:
+    """Streaming (tile-aligned event) iALS == dense iALS — same init,
+    same sweeps, parity up to float reduction order."""
+
+    def _coo_and_dense(self, m=57, n=33, seed=2, density=0.18):
+        import scipy.sparse as sp
+        rs = np.random.RandomState(seed)
+        csr = sp.random(m, n, density=density, random_state=rs,
+                        data_rvs=lambda s: rs.randint(1, 6, s)
+                        .astype(float))
+        coo = csr.tocoo()
+        return coo, jnp.asarray(csr.toarray(), jnp.float64)
+
+    @pytest.mark.parametrize("tile,batch_entities", [(4, 16), (8, 57),
+                                                     (128, 4096)])
+    def test_matches_dense_ials(self, tile, batch_entities):
+        from polara_tpu.ops.implicit import ials_train_events
+        coo, dense = self._coo_and_dense()
+        ref = ials_train(dense, rank=5, num_epochs=4, seed=0,
+                         dtype=jnp.float64)
+        got = ials_train_events(coo.row, coo.col, coo.data, coo.shape,
+                                rank=5, num_epochs=4, seed=0, tile=tile,
+                                batch_entities=batch_entities,
+                                dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(got.user),
+                                   np.asarray(ref.user), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(got.item),
+                                   np.asarray(ref.item), atol=1e-9)
+
+    def test_empty_rows_and_unsorted_events(self):
+        """Entities with zero events solve to zero vectors; unsorted
+        event order must not change the result."""
+        from polara_tpu.ops.implicit import ials_train_events
+        rows = np.array([5, 1, 5, 3, 1, 5], np.int32)
+        cols = np.array([0, 2, 1, 2, 0, 3], np.int32)
+        vals = np.array([3.0, 4.0, 5.0, 1.0, 2.0, 4.0])
+        got = ials_train_events(rows, cols, vals, (8, 5), rank=3,
+                                num_epochs=3, seed=1, tile=4,
+                                batch_entities=3, dtype=jnp.float64)
+        dense = np.zeros((8, 5))
+        dense[rows, cols] = vals
+        ref = ials_train(jnp.asarray(dense, jnp.float64), rank=3,
+                         num_epochs=3, seed=1, dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(got.user),
+                                   np.asarray(ref.user), atol=1e-9)
+        # user 0 has no events -> zero vector
+        assert np.abs(np.asarray(got.user)[0]).max() == 0.0
+
+    def test_callable_weight(self):
+        from polara_tpu.ops.implicit import ials_train_events
+        coo, dense = self._coo_and_dense(seed=5)
+        ref = ials_train(dense, rank=4, weight=np.log2, num_epochs=3,
+                         seed=0, dtype=jnp.float64)
+        got = ials_train_events(coo.row, coo.col, coo.data, coo.shape,
+                                rank=4, weight=np.log2, num_epochs=3,
+                                seed=0, tile=8, batch_entities=16,
+                                dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(got.item),
+                                   np.asarray(ref.item), atol=1e-9)
+
+
+def test_ials_model_routes_past_budget_to_streaming():
+    """With a budget too small for the dense ratings block, ImplicitALS
+    must train through the streaming event sweeps and reproduce the
+    dense-path recommendations."""
+    from polara_tpu import config as defaults
+
+    data = make_data(seed=4)
+    base = ImplicitALS(data)
+    base.verbose = False
+    base.compute_dtype = jnp.float64
+    base.rank = 5
+    recs_dense = np.asarray(base.recommendations)
+
+    old = defaults.get_default("hbm_score_budget_gb")
+    defaults.set_default("hbm_score_budget_gb", 1e-7)
+    try:
+        tiny = ImplicitALS(data)
+        tiny.verbose = False
+        tiny.compute_dtype = jnp.float64
+        tiny.rank = 5
+        tiny.build()
+        recs_stream = np.asarray(tiny.recommendations)
+    finally:
+        defaults.set_default("hbm_score_budget_gb", old)
+    assert (recs_dense == recs_stream).mean() > 0.98
+
+
 def test_bpr_training_improves_auc():
     events = make_synthetic_interactions(n_users=50, n_items=30,
                                          n_events=900, seed=2)

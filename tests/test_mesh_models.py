@@ -73,6 +73,38 @@ def test_svd_model_mesh_matches_single_device(mesh):
     assert abs(hr_single - hr_dist) < 1e-6
 
 
+def test_svd_model_mesh_beyond_budget_routes_to_event_sharding(mesh):
+    """With a budget too small even for the COO intermediate, the mesh
+    build must route to the event-sharded streaming rSVD and still
+    reproduce the single-device subspace/recommendations."""
+    from polara_tpu import config as defaults
+    from polara_tpu.ops.rsvd import principal_angles_max_sin
+
+    data = _prepared_data(seed=5)
+    single = SVDModel(data)
+    single.verbose = False
+    single.compute_dtype = jnp.float64
+    single.rank = 6
+    single.build()
+    recs_single = single.recommendations
+
+    old = defaults.get_default("hbm_score_budget_gb")
+    defaults.set_default("hbm_score_budget_gb", 1e-7)
+    try:
+        dist = SVDModel(data, mesh=mesh)
+        dist.verbose = False
+        dist.compute_dtype = jnp.float64
+        dist.rank = 6
+        dist.build()
+        itemid = data.fields.itemid
+        assert principal_angles_max_sin(single.factors[itemid],
+                                        dist.factors[itemid]) < 1e-5
+    finally:
+        defaults.set_default("hbm_score_budget_gb", old)
+    recs_dist = dist.recommendations
+    assert _agreement(recs_single, recs_dist) > 0.99
+
+
 def test_use_mesh_context_routes_models(mesh):
     data = _prepared_data(seed=3)
     model = SVDModel(data)
