@@ -201,6 +201,18 @@ class CooMatrix:
         return _stage_chunked(self.rows, self.cols.astype(jnp.int32),
                               self.vals, self.shape, event_chunk)
 
+    def tiled_operator(self, event_chunk: int = 4_000_000,
+                       tile: int = 128) -> MatmulOperator:
+        """Tile-aligned streaming operator (see
+        :func:`tiled_coo_operator`) — the arrays are already resident
+        and row-sorted."""
+        if self.nnz == 0:
+            raise ValueError("empty matrix")
+        return tiled_coo_operator(self.rows, self.cols, self.vals,
+                                  self.shape, event_chunk=event_chunk,
+                                  tile=tile, assume_sorted=True,
+                                  dtype=self.vals.dtype)
+
     def row_nnz(self) -> jax.Array:
         ones = jnp.ones_like(self.vals)
         return jax.ops.segment_sum(ones, self.rows,
@@ -348,6 +360,144 @@ def _stage_chunked(rows: jax.Array, cols: jax.Array, vals: jax.Array,
     return MatmulOperator(shape=(m, n), mm_fn=_chunked_mm,
                           rmm_fn=_chunked_rmm, operands=operands,
                           dtype=vals.dtype)
+
+
+# --------------------------------------------------------------------------
+# tile-aligned (ELL) streaming operator — beyond-HBM scale, scatter-free
+# --------------------------------------------------------------------------
+
+def _tiled_pass(side, x, out_dim):
+    """One streamed ``A @ x`` pass over a tile-aligned event side.
+
+    Every tile of ``tile`` consecutive events belongs to exactly one
+    output row, so the per-chunk reduction is a batched (1, tile) @
+    (tile, k) contraction (MXU work) followed by a ``segment_sum`` over
+    *tile owners* — ``tile``× fewer scatter ids than the event-level
+    reduction of :func:`_chunked_mm`, whose scatter lowering costs ~2.5×
+    the pure gather floor (measured on chip, see docs/PERFORMANCE.md).
+    """
+    minor_c, vals_c, lowner, starts, probe = side
+    span = probe.shape[0]
+    k = x.shape[1]
+    tpc = lowner.shape[1]
+    tile = minor_c.shape[1] // tpc
+
+    def body(acc, chunk):
+        cl, vl, ow, st = chunk
+        y = x[cl].reshape(tpc, tile, k)
+        contrib = jnp.einsum("ptk,pt->pk", y, vl.reshape(tpc, tile))
+        seg = jax.ops.segment_sum(contrib, ow, num_segments=span,
+                                  indices_are_sorted=True)
+        zero = jnp.zeros((), st.dtype)
+        cur = jax.lax.dynamic_slice(acc, (st, zero), (span, k))
+        return jax.lax.dynamic_update_slice(acc, cur + seg,
+                                            (st, zero)), None
+
+    acc = jnp.zeros((out_dim, k), x.dtype)
+    acc, _ = jax.lax.scan(body, acc,
+                          (minor_c, vals_c, lowner, starts))
+    return acc
+
+
+def _tiled_mm(operands, x, out_dim):
+    return _tiled_pass(operands[0], x, out_dim)
+
+
+def _tiled_rmm(operands, x, out_dim):
+    return _tiled_pass(operands[1], x, out_dim)
+
+
+def _stage_tiled_side(maj: jax.Array, minor: jax.Array, vals: jax.Array,
+                      n_major: int, event_chunk: int, tile: int):
+    """Device-side staging of one tile-aligned event side.
+
+    ``maj`` must be sorted ascending.  Every entity's event list pads to
+    a multiple of ``tile`` (padding events carry value 0 and map to
+    column 0, so they contribute nothing), the padded stream reshapes
+    into static ``(n_chunks, event_chunk)`` panels, and each chunk
+    carries its tiles' *local* owner ids plus a clamped row-span start —
+    the same accumulation scheme as :func:`_stage_chunked`, with the
+    segment ids coarsened from events to tiles.  Two tiny host syncs fix
+    the static padded-event count and chunk span.
+    """
+    nnz = maj.shape[0]
+    maj = maj.astype(jnp.int32)
+    ones = jnp.ones((nnz,), jnp.int32)
+    counts = jax.ops.segment_sum(ones, maj, num_segments=n_major,
+                                 indices_are_sorted=True)
+    pc = -(-counts // tile) * tile
+    base = jnp.cumsum(pc) - pc
+    ev_start = jnp.cumsum(counts) - counts
+    pos = jnp.arange(nnz, dtype=jnp.int32) - ev_start[maj]
+    dst = base[maj] + pos
+    e_pad_raw = int(jnp.sum(pc))                  # host sync (scalar)
+    event_chunk = -(-min(event_chunk, e_pad_raw) // tile) * tile
+    n_chunks = -(-e_pad_raw // event_chunk)
+    e_pad = n_chunks * event_chunk
+    minor_p = jnp.zeros((e_pad,), jnp.int32).at[dst].set(
+        minor.astype(jnp.int32), unique_indices=True)
+    vals_p = jnp.zeros((e_pad,), vals.dtype).at[dst].set(
+        vals, unique_indices=True)
+
+    tiles_per = pc // tile
+    n_tiles = e_pad // tile
+    # trailing chunk-alignment tiles carry zero values; jnp.repeat pads
+    # them with the last entity id, which keeps owner ids sorted
+    owner = jnp.repeat(jnp.arange(n_major, dtype=jnp.int32), tiles_per,
+                       total_repeat_length=n_tiles)
+    tpc = event_chunk // tile
+    owner_c = owner.reshape(n_chunks, tpc)
+    span = int(jnp.max(owner_c[:, -1] - owner_c[:, 0])) + 1  # host sync
+    span = min(max(span, 1), n_major)
+    starts = jnp.minimum(owner_c[:, 0],
+                         jnp.int32(n_major - span)).astype(jnp.int32)
+    lowner = (owner_c - starts[:, None]).astype(jnp.int32)
+    return (minor_p.reshape(n_chunks, event_chunk),
+            vals_p.reshape(n_chunks, event_chunk),
+            lowner, starts, jnp.zeros((span,), jnp.int8))
+
+
+def tiled_coo_operator(rows, cols, vals, shape: Tuple[int, int],
+                       event_chunk: int = 4_000_000, tile: int = 128,
+                       assume_sorted: bool = False,
+                       dtype: jnp.dtype = jnp.float32) -> MatmulOperator:
+    """Tile-aligned streaming COO operator (scatter-free hot path).
+
+    Same contract and accumulation scheme as
+    :func:`chunked_coo_operator`, but both passes lay the event stream
+    out so each MXU-tile of events belongs to one output row (the
+    layout proven out by the streaming iALS, `ops/implicit.py:
+    stage_events_side`): ``A @ x`` streams a row-sorted copy, ``A.T @ x``
+    a column-sorted copy, and each chunk reduces with one batched
+    (tile, k) contraction plus a tiny per-tile segment_sum instead of an
+    event-level scatter.  Costs one extra padded copy of the event
+    stream (~8 bytes/event per side + ≤``tile``/2 pad events per entity)
+    and buys back the ~2.5× scatter-lowering overhead that dominates
+    every factorization pass at beyond-HBM scale.
+
+    Replaces the reference's out-of-core posture (host scipy CSR +
+    ARPACK, ``polara/lib/sparse.py:35-141``) for matrices whose dense
+    block exceeds HBM.
+    """
+    nnz = len(rows)
+    if nnz == 0:
+        raise ValueError("empty matrix")
+    if tile < 1:
+        raise ValueError("tile must be positive")
+    rows = jnp.asarray(rows, jnp.int32)
+    cols = jnp.asarray(cols, jnp.int32)
+    vals = jnp.asarray(vals, dtype)
+    if not assume_sorted and not bool(jnp.all(jnp.diff(rows) >= 0)):
+        order = jnp.argsort(rows, stable=True)
+        rows, cols, vals = rows[order], cols[order], vals[order]
+    m, n = (int(s) for s in shape)
+    row_side = _stage_tiled_side(rows, cols, vals, m, event_chunk, tile)
+    corder = jnp.argsort(cols, stable=True)
+    col_side = _stage_tiled_side(cols[corder], rows[corder], vals[corder],
+                                 n, event_chunk, tile)
+    return MatmulOperator(shape=(m, n), mm_fn=_tiled_mm,
+                          rmm_fn=_tiled_rmm,
+                          operands=(row_side, col_side), dtype=vals.dtype)
 
 
 def dense_from_coo(idx: np.ndarray, val: np.ndarray,

@@ -159,6 +159,85 @@ class TestChunkedCooOperator:
         assert principal_angles_max_sin(res_chunk.v, res_dense.v) < 1e-7
 
 
+class TestTiledCooOperator:
+    """Tile-aligned streaming operator == dense at small scale.  The
+    tile machinery (per-entity padding, chunk-boundary-crossing
+    entities, chunk-alignment tiles owned by the last entity, clamped
+    spans) must be invisible."""
+
+    def _coo(self, m=230, n=97, density=0.15, seed=4):
+        csr = random_rating_matrix(m, n, density=density, seed=seed)
+        return csr, csr.tocoo()
+
+    @pytest.mark.parametrize("tile,event_chunk",
+                             [(4, 16), (8, 56), (16, 10 ** 9), (128, 256)])
+    def test_matmul_parity(self, tile, event_chunk):
+        csr, coo = self._coo()
+        op = tiled_coo_operator(coo.row, coo.col, coo.data, coo.shape,
+                                event_chunk=event_chunk, tile=tile,
+                                dtype=jnp.float64)
+        x = np.random.RandomState(1).randn(csr.shape[1], 9)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   csr @ x, rtol=1e-10)
+        y = np.random.RandomState(2).randn(csr.shape[0], 6)
+        np.testing.assert_allclose(np.asarray(op.rmm(jnp.asarray(y))),
+                                   csr.T @ y, rtol=1e-10)
+
+    def test_unsorted_input_and_empty_entities(self):
+        """Unsorted events sort on staging; rows/cols with no events
+        (incl. the trailing ones) produce zero output rows."""
+        rs = np.random.RandomState(3)
+        m, n, nnz = 41, 29, 150
+        rows = rs.randint(0, m - 5, nnz).astype(np.int32)   # last 5 empty
+        cols = rs.randint(0, n - 3, nnz).astype(np.int32)
+        vals = rs.randn(nnz)
+        dense = np.zeros((m, n))
+        np.add.at(dense, (rows, cols), vals)
+        op = tiled_coo_operator(rows, cols, vals, (m, n), event_chunk=40,
+                                tile=8, dtype=jnp.float64)
+        x = rs.randn(n, 5)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   dense @ x, rtol=1e-10, atol=1e-12)
+        y = rs.randn(m, 4)
+        np.testing.assert_allclose(np.asarray(op.rmm(jnp.asarray(y))),
+                                   dense.T @ y, rtol=1e-10, atol=1e-12)
+
+    def test_hot_entity_spanning_many_chunks(self):
+        """One entity with more events than a whole chunk accumulates
+        across chunk boundaries."""
+        rs = np.random.RandomState(5)
+        rows = np.zeros(100, np.int32)
+        cols = rs.randint(0, 12, 100).astype(np.int32)
+        vals = rs.randn(100)
+        dense = np.zeros((7, 12))
+        np.add.at(dense, (rows, cols), vals)
+        op = tiled_coo_operator(rows, cols, vals, (7, 12), event_chunk=16,
+                                tile=4, dtype=jnp.float64)
+        x = rs.randn(12, 3)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   dense @ x, rtol=1e-10)
+
+    def test_empty_guard(self):
+        with pytest.raises(ValueError):
+            tiled_coo_operator(np.array([], np.int32),
+                               np.array([], np.int32),
+                               np.array([], np.float64), (3, 4))
+
+    def test_rsvd_through_tiled_operator(self):
+        csr, coo = self._coo(m=180, n=120, density=0.25, seed=7)
+        op = tiled_coo_operator(coo.row, coo.col, coo.data, coo.shape,
+                                event_chunk=512, tile=8,
+                                dtype=jnp.float64)
+        dense = jnp.asarray(csr.toarray(), jnp.float64)
+        res_tiled = randomized_svd(op, 8, tol=1e-12, max_iter=300, seed=5,
+                                   dtype=jnp.float64)
+        res_dense = randomized_svd(dense, 8, tol=1e-12, max_iter=300,
+                                   seed=5, dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(res_tiled.s),
+                                   np.asarray(res_dense.s), rtol=1e-9)
+        assert principal_angles_max_sin(res_tiled.v, res_dense.v) < 1e-7
+
+
 class TestRandomizedSvd:
     def test_matches_scipy_svds_subspace(self):
         csr = random_rating_matrix(200, 150, density=0.3)
