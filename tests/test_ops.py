@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from polara_tpu.ops.sparse import (CooMatrix, chunked_coo_operator,
                                    dense_operator, inner_product_at,
-                                   pad_rows)
+                                   pad_rows, tiled_coo_operator)
 from polara_tpu.ops.rsvd import randomized_svd, principal_angles_max_sin
 from polara_tpu.ops.topk import mask_and_topk, top_k_indices, downvote_items
 
