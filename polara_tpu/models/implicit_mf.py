@@ -107,15 +107,25 @@ class ImplicitALS(_RankedFactorModel):
         dense_bytes = (coo.shape[0] * coo.shape[1]
                        * jnp.dtype(self.compute_dtype).itemsize)
         if dense_bytes > budget:
-            from polara_tpu.ops.implicit import ials_train_events
             with track_time(self.training_time, verbose=self.verbose,
                             model=self.method):
-                result = jax.block_until_ready(ials_train_events(
-                    coo.rows, coo.cols, coo.vals, coo.shape, self.rank,
-                    alpha=self.alpha, weight=self.weight_func,
-                    epsilon=self.epsilon, reg=self.regularization,
-                    num_epochs=self.num_epochs, seed=self.seed,
-                    dtype=self.compute_dtype))
+                if mesh is not None and mesh.devices.size > 1:
+                    from polara_tpu.parallel.distributed import \
+                        distributed_ials_events
+                    result = jax.block_until_ready(distributed_ials_events(
+                        coo.rows, coo.cols, coo.vals, coo.shape, self.rank,
+                        mesh, alpha=self.alpha, weight=self.weight_func,
+                        epsilon=self.epsilon, reg=self.regularization,
+                        num_epochs=self.num_epochs, seed=self.seed,
+                        dtype=self.compute_dtype))
+                else:
+                    from polara_tpu.ops.implicit import ials_train_events
+                    result = jax.block_until_ready(ials_train_events(
+                        coo.rows, coo.cols, coo.vals, coo.shape, self.rank,
+                        alpha=self.alpha, weight=self.weight_func,
+                        epsilon=self.epsilon, reg=self.regularization,
+                        num_epochs=self.num_epochs, seed=self.seed,
+                        dtype=self.compute_dtype))
             self.factors[self.data.fields.userid] = result.user
             self.factors[self.data.fields.itemid] = result.item
             return

@@ -238,12 +238,24 @@ class EllSide(NamedTuple):
 
 def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
                       n_major: int, tile: int = 128,
-                      batch_entities: int = 4096) -> EllSide:
+                      batch_entities: int = 4096,
+                      pad_events_to: int = 0,
+                      window_tiles: int = 1) -> EllSide:
     """Device-side staging of one :class:`EllSide`.
 
     ``maj`` must be sorted ascending (sort on device first for the
     column side).  Two tiny host syncs fix the static padded-event and
     window-tile counts.
+
+    ``pad_events_to`` / ``window_tiles`` force minimum static shapes so
+    several independently staged sides share one geometry — the mesh
+    path (:func:`polara_tpu.parallel.distributed.distributed_ials_events`)
+    stages one side per device band and shard_map needs them uniform.
+    Tail tiles introduced by ``pad_events_to`` carry only zero-weight
+    events (``jnp.repeat(..., total_repeat_length=...)`` assigns them to
+    the last entity, whose Gram/rhs contributions are all zero), and a
+    widened window only pulls other batches' tiles, which the local-owner
+    mask already dumps.
     """
     import math as _math
 
@@ -258,8 +270,9 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
     pos = jnp.arange(nnz, dtype=jnp.int32) - ev_start[maj]
     dst = base[maj] + pos
     e_pad = int(jnp.sum(pc))                       # host sync (scalar)
-    if e_pad == 0:
+    if e_pad == 0 and not pad_events_to:
         raise ValueError("empty event stream")
+    e_pad = max(e_pad, -(-int(pad_events_to) // tile) * tile)
     minor_p = jnp.zeros((e_pad,), jnp.int32).at[dst].set(
         minor.astype(jnp.int32), unique_indices=True)
     w_p = jnp.zeros((e_pad,), cm1.dtype).at[dst].set(
@@ -282,7 +295,7 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
         ent_end < n_major,
         ent_tile_start[jnp.minimum(ent_end, n_major - 1)], n_tiles)
     tb = int(jnp.max(end_tiles - raw_start))      # host sync (scalar)
-    tb = max(tb, 1)
+    tb = max(tb, 1, int(window_tiles))
     starts = jnp.minimum(raw_start, n_tiles - tb).astype(jnp.int32)
     idx = starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]
     ol = owner[idx] - ent_starts_d[:, None]

@@ -2,6 +2,7 @@ from polara_tpu.parallel.distributed import (cholesky_qr2,
                                              distributed_randomized_svd,
                                              distributed_chunked_rsvd,
                                              distributed_ials,
+                                             distributed_ials_events,
                                              distributed_bpr,
                                              distributed_hooi,
                                              score_mask_topk_step,
@@ -13,7 +14,8 @@ from polara_tpu.runtime.mesh import (make_mesh, user_sharding, shard_rows,
 
 __all__ = ["cholesky_qr2", "distributed_randomized_svd",
            "distributed_chunked_rsvd",
-           "distributed_ials", "distributed_bpr", "distributed_hooi",
+           "distributed_ials", "distributed_ials_events",
+           "distributed_bpr", "distributed_hooi",
            "score_mask_topk_step", "sharded_score_topk_2d",
            "full_train_step",
            "make_mesh", "user_sharding", "shard_rows",

@@ -234,6 +234,158 @@ def distributed_ials(dense_ratings: jax.Array, rank: int, mesh: Mesh,
                            item=item_factors[:n_items])
 
 
+def distributed_ials_events(rows: np.ndarray, cols: np.ndarray,
+                            vals: np.ndarray, shape, rank: int,
+                            mesh: Mesh, alpha: float = 1.0,
+                            weight="log2", epsilon: float = 1.0,
+                            reg: float = 0.01, num_epochs: int = 15,
+                            seed: Optional[int] = 0, tile: int = 128,
+                            batch_entities: int = 4096,
+                            dtype=jnp.float32,
+                            train_stats: Optional[dict] = None):
+    """Streaming (beyond-HBM) iALS with the event stream sharded over the
+    mesh — the multi-chip tier of
+    :func:`polara_tpu.ops.implicit.ials_train_events`.
+
+    Entities deal onto devices **strided** (entity ``g`` → device
+    ``g % n_dev``, local id ``g // n_dev``) so Zipf-skewed event counts
+    balance instead of piling the popular head onto one band; each device
+    stages only its own bands' tile-aligned event panels for BOTH sweep
+    sides (~``2·nnz/n_dev`` events resident per device).  A half-sweep is
+    the same batched-MXU normal-equation solve as the single-chip path
+    (:func:`polara_tpu.ops.implicit._ell_half_sweep`), entirely band-local
+    against a replicated factor panel; the only collectives are the two
+    factor-panel ``all_gather``s per epoch — bytes independent of nnz, so
+    both memory and the nnz·k² Gram work scale linearly with the mesh.
+
+    Same init and sweep order as the single-chip streaming path — parity
+    is float-reduction-order level (band batching regroups the per-entity
+    segment sums).
+
+    ``train_stats``: optional dict populated like
+    :func:`distributed_ials`'s (per-epoch wall seconds + per-device
+    received collective bytes).
+    """
+    import math
+    import time
+
+    from jax import shard_map
+
+    from polara_tpu.ops.implicit import (ImplicitFactors, _ell_half_sweep,
+                                         canonical_weight, confidence,
+                                         stage_events_side)
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    n_users, n_items = (int(s) for s in shape)
+    nnz = len(vals)
+    if nnz == 0:
+        raise ValueError("empty matrix")
+    weight = canonical_weight(weight)
+
+    rows_d = jnp.asarray(rows, jnp.int32)
+    cols_d = jnp.asarray(cols, jnp.int32)
+    cm1 = confidence(jnp.asarray(vals, dtype), alpha, weight, epsilon)
+
+    nl_u = -(-n_users // n_dev)     # local entities per band
+    nl_i = -(-n_items // n_dev)
+    nu_pad, ni_pad = nl_u * n_dev, nl_i * n_dev
+
+    def stage_banded(maj, minor, w, n_major, n_local):
+        """One EllSide per strided band, forced to a common geometry;
+        fields stacked on a leading device axis."""
+        be = min(batch_entities, n_local)
+        order = jnp.argsort(maj, stable=True)
+        maj, minor, w = maj[order], minor[order], w[order]
+        band = maj % n_dev
+        per_band = []
+        for b in range(n_dev):
+            sel = band == b
+            mb = maj[sel] // n_dev
+            nb, wb = minor[sel], w[sel]
+            if mb.shape[0] == 0:
+                # zero-weight placeholder event: keeps staging non-empty,
+                # contributes nothing (w=0 zeroes its Gram/rhs terms)
+                mb = jnp.zeros((1,), jnp.int32)
+                nb = jnp.zeros((1,), jnp.int32)
+                wb = jnp.zeros((1,), dtype)
+            per_band.append((mb, nb, wb))
+        first = [stage_events_side(mb, nb, wb, n_local, tile=tile,
+                                   batch_entities=be)
+                 for mb, nb, wb in per_band]
+        e_pad = max(s.minor.shape[0] for s in first)
+        tb = max(s.owner_local.shape[1] for s in first)
+        sides = [s if (s.minor.shape[0] == e_pad
+                       and s.owner_local.shape[1] == tb)
+                 else stage_events_side(mb, nb, wb, n_local, tile=tile,
+                                        batch_entities=be,
+                                        pad_events_to=e_pad,
+                                        window_tiles=tb)
+                 for s, (mb, nb, wb) in zip(first, per_band)]
+        dev_sharding = NamedSharding(mesh, P(axis))
+        stack = lambda field: jax.device_put(
+            jnp.stack([getattr(s, field) for s in sides]), dev_sharding)
+        return (stack("minor"), stack("w"), stack("starts"),
+                stack("ent_starts"), stack("owner_local")), be
+
+    u_arrays, be_u = stage_banded(rows_d, cols_d, cm1, n_users, nl_u)
+    i_arrays, be_i = stage_banded(cols_d, rows_d, cm1, n_items, nl_i)
+
+    key = jax.random.key(0 if seed is None else seed)
+    repl = NamedSharding(mesh, P())
+    item_factors = jax.device_put(
+        jnp.pad(jax.random.normal(key, (n_items, rank), dtype)
+                * (1.0 / math.sqrt(rank)), ((0, ni_pad - n_items),
+                                            (0, 0))), repl)
+    reg_d = jnp.asarray(reg, dtype)
+
+    def natural(panel_bm, n_pad):
+        # all_gather is band-major: row (b, l) holds entity l*n_dev + b
+        k = panel_bm.shape[-1]
+        return panel_bm.reshape(n_dev, -1, k).transpose(1, 0, 2)\
+                       .reshape(n_pad, k)
+
+    def half(arrays, other, n_local, be):
+        minor_p, w_p, starts, ent_starts, ol = (a[0] for a in arrays)
+        return _ell_half_sweep.__wrapped__(
+            minor_p, w_p, starts, ent_starts, ol, other, reg_d,
+            n_entities=n_local, batch_entities=be, tile=tile)
+
+    def epoch_local(u_arrays, i_arrays, y_full):
+        x_local = half(u_arrays, y_full, nl_u, be_u)
+        x_full = natural(jax.lax.all_gather(x_local, axis, axis=0,
+                                            tiled=True), nu_pad)
+        y_local = half(i_arrays, x_full, nl_i, be_i)
+        y_full = natural(jax.lax.all_gather(y_local, axis, axis=0,
+                                            tiled=True), ni_pad)
+        return x_full, y_full
+
+    dev = P(axis)
+    epoch = jax.jit(shard_map(
+        epoch_local, mesh=mesh,
+        in_specs=((dev,) * 5, (dev,) * 5, P()),
+        out_specs=(P(), P()), check_vma=False))
+
+    itemsize = jnp.dtype(dtype).itemsize
+    comm_bytes = (nu_pad + ni_pad) * rank * itemsize  # 2 panel gathers
+    epochs_log = [] if train_stats is not None else None
+    user_factors = None
+    for _ in range(num_epochs):
+        start = time.perf_counter()
+        user_factors, item_factors = epoch(u_arrays, i_arrays,
+                                           item_factors)
+        if epochs_log is not None:
+            np.asarray(item_factors[:1, :1])     # honest sync (tunnel-safe)
+            epochs_log.append({
+                "wall_s": time.perf_counter() - start,
+                "comm_bytes": comm_bytes})
+    if train_stats is not None:
+        train_stats.update(mode="sharded-event-streams",
+                           n_devices=n_dev, epochs=epochs_log)
+    return ImplicitFactors(user=user_factors[:n_users],
+                           item=item_factors[:n_items])
+
+
 def distributed_bpr(rows: np.ndarray, cols: np.ndarray, shape, rank: int,
                     mesh: Mesh, learning_rate: float = 0.01,
                     reg: float = 0.01, num_epochs: int = 100,

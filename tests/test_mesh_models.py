@@ -105,6 +105,36 @@ def test_svd_model_mesh_beyond_budget_routes_to_event_sharding(mesh):
     assert _agreement(recs_single, recs_dist) > 0.99
 
 
+def test_ials_model_mesh_beyond_budget_routes_to_event_sharding(mesh):
+    """With a budget too small for the dense ratings block, an ImplicitALS
+    build under a mesh must route to the event-sharded streaming sweeps
+    (distributed_ials_events) and reproduce the single-device streaming
+    recommendations."""
+    from polara_tpu import config as defaults
+
+    data = _prepared_data(seed=6)
+
+    def configure(model):
+        model.verbose = False
+        model.compute_dtype = jnp.float64
+        model.rank = 5
+        model.num_epochs = 4
+        return model
+
+    old = defaults.get_default("hbm_score_budget_gb")
+    defaults.set_default("hbm_score_budget_gb", 1e-7)
+    try:
+        single = configure(ImplicitALS(data))
+        single.build()
+        recs_single = single.recommendations
+        dist = configure(ImplicitALS(data, mesh=mesh))
+        dist.build()
+        recs_dist = dist.recommendations
+    finally:
+        defaults.set_default("hbm_score_budget_gb", old)
+    assert _agreement(recs_single, recs_dist) > 0.99
+
+
 def test_use_mesh_context_routes_models(mesh):
     data = _prepared_data(seed=3)
     model = SVDModel(data)

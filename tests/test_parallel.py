@@ -288,6 +288,67 @@ def test_distributed_ials_non_divisible_geometry():
                                atol=2e-5)
 
 
+def test_distributed_ials_events_matches_single_device():
+    """Streaming iALS sharded over the mesh == the single-chip streaming
+    path (same init/sweeps; band batching only regroups the per-entity
+    segment sums, so f64 parity is reduction-order level)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from polara_tpu.ops.implicit import ials_train_events
+    from polara_tpu.parallel.distributed import distributed_ials_events
+    from polara_tpu.runtime.mesh import make_mesh
+
+    rs = np.random.RandomState(7)
+    coo = sp.random(97, 53, density=0.2, random_state=rs,
+                    data_rvs=lambda s: rs.randint(1, 6, s)
+                    .astype(float)).tocoo()
+    mesh = make_mesh(n_devices=8, axes=("users",), shape=(8,))
+    stats = {}
+    dist = distributed_ials_events(coo.row, coo.col, coo.data, coo.shape,
+                                   rank=5, mesh=mesh, num_epochs=3,
+                                   seed=0, tile=8, batch_entities=16,
+                                   dtype=jnp.float64, train_stats=stats)
+    single = ials_train_events(coo.row, coo.col, coo.data, coo.shape,
+                               rank=5, num_epochs=3, seed=0, tile=8,
+                               batch_entities=16, dtype=jnp.float64)
+    assert dist.user.shape == (97, 5) and dist.item.shape == (53, 5)
+    np.testing.assert_allclose(np.asarray(dist.user),
+                               np.asarray(single.user), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dist.item),
+                               np.asarray(single.item), atol=1e-8)
+    assert stats["mode"] == "sharded-event-streams"
+    assert len(stats["epochs"]) == 3
+    assert stats["epochs"][0]["comm_bytes"] > 0
+
+
+def test_distributed_ials_events_empty_bands():
+    """Fewer items than devices: some item bands carry zero events and
+    run on the zero-weight placeholder; zero-event entities stay zero."""
+    import numpy as np
+    import jax.numpy as jnp
+    from polara_tpu.ops.implicit import ials_train_events
+    from polara_tpu.parallel.distributed import distributed_ials_events
+    from polara_tpu.runtime.mesh import make_mesh
+
+    rows = np.array([5, 1, 5, 3, 1, 5, 21, 14], np.int32)
+    cols = np.array([0, 2, 1, 2, 0, 3, 4, 1], np.int32)
+    vals = np.array([3.0, 4.0, 5.0, 1.0, 2.0, 4.0, 2.0, 5.0])
+    mesh = make_mesh(n_devices=8, axes=("users",), shape=(8,))
+    dist = distributed_ials_events(rows, cols, vals, (23, 5), rank=3,
+                                   mesh=mesh, num_epochs=3, seed=1,
+                                   tile=4, batch_entities=3,
+                                   dtype=jnp.float64)
+    single = ials_train_events(rows, cols, vals, (23, 5), rank=3,
+                               num_epochs=3, seed=1, tile=4,
+                               batch_entities=3, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(dist.user),
+                               np.asarray(single.user), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dist.item),
+                               np.asarray(single.item), atol=1e-8)
+    assert np.abs(np.asarray(dist.user)[0]).max() == 0.0   # no events
+
+
 def test_distributed_hooi_rejects_bad_init_shapes():
     import numpy as np
     import pytest
