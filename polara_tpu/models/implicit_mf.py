@@ -91,6 +91,9 @@ class ImplicitALS(_RankedFactorModel):
         # batches cut the sequential solve count ~7x at ML-10M); set an
         # int to pin both sweeps' batch size
         self.batch_rows: Optional[int] = None
+        # streaming (beyond-HBM) tier knob: entities solved per window
+        # of the tile-aligned event sweeps; None = ops default (4096)
+        self.batch_entities: Optional[int] = None
         self.seed = 0
         self.method = "iALS"
 
@@ -107,6 +110,8 @@ class ImplicitALS(_RankedFactorModel):
         dense_bytes = (coo.shape[0] * coo.shape[1]
                        * jnp.dtype(self.compute_dtype).itemsize)
         if dense_bytes > budget:
+            stream_kw = {} if self.batch_entities is None else \
+                {"batch_entities": self.batch_entities}
             with track_time(self.training_time, verbose=self.verbose,
                             model=self.method):
                 if mesh is not None and mesh.devices.size > 1:
@@ -117,7 +122,7 @@ class ImplicitALS(_RankedFactorModel):
                         mesh, alpha=self.alpha, weight=self.weight_func,
                         epsilon=self.epsilon, reg=self.regularization,
                         num_epochs=self.num_epochs, seed=self.seed,
-                        dtype=self.compute_dtype))
+                        dtype=self.compute_dtype, **stream_kw))
                 else:
                     from polara_tpu.ops.implicit import ials_train_events
                     result = jax.block_until_ready(ials_train_events(
@@ -125,7 +130,7 @@ class ImplicitALS(_RankedFactorModel):
                         alpha=self.alpha, weight=self.weight_func,
                         epsilon=self.epsilon, reg=self.regularization,
                         num_epochs=self.num_epochs, seed=self.seed,
-                        dtype=self.compute_dtype))
+                        dtype=self.compute_dtype, **stream_kw))
             self.factors[self.data.fields.userid] = result.user
             self.factors[self.data.fields.itemid] = result.item
             return

@@ -269,10 +269,10 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
     ev_start = jnp.cumsum(counts) - counts
     pos = jnp.arange(nnz, dtype=jnp.int32) - ev_start[maj]
     dst = base[maj] + pos
-    e_pad = int(jnp.sum(pc))                       # host sync (scalar)
-    if e_pad == 0 and not pad_events_to:
+    e_pad_nat = int(jnp.sum(pc))                   # host sync (scalar)
+    if e_pad_nat == 0 and not pad_events_to:
         raise ValueError("empty event stream")
-    e_pad = max(e_pad, -(-int(pad_events_to) // tile) * tile)
+    e_pad = max(e_pad_nat, -(-int(pad_events_to) // tile) * tile)
     minor_p = jnp.zeros((e_pad,), jnp.int32).at[dst].set(
         minor.astype(jnp.int32), unique_indices=True)
     w_p = jnp.zeros((e_pad,), cm1.dtype).at[dst].set(
@@ -291,11 +291,23 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
     ent_starts_d = jnp.asarray(ent_starts)
     raw_start = ent_tile_start[ent_starts_d]
     ent_end = ent_starts_d + batch_entities          # <= n_major
+    # The final batch ends at the band's OWN unpadded tile count —
+    # ``pad_events_to`` inflates ``n_tiles`` with zero-weight tail tiles
+    # that never need windowing (using the inflated count here made the
+    # recomputed tb exceed a forced ``window_tiles`` whenever the band
+    # had more than one entity batch, breaking the uniform mesh
+    # geometry that restaging exists to provide).
     end_tiles = jnp.where(
         ent_end < n_major,
-        ent_tile_start[jnp.minimum(ent_end, n_major - 1)], n_tiles)
+        ent_tile_start[jnp.minimum(ent_end, n_major - 1)],
+        e_pad_nat // tile)
     tb = int(jnp.max(end_tiles - raw_start))      # host sync (scalar)
     tb = max(tb, 1, int(window_tiles))
+    if tb * tile > e_pad:
+        raise ValueError(
+            f"window of {tb} tiles exceeds the padded event stream "
+            f"({e_pad} events); raise pad_events_to to at least "
+            f"{tb * tile}")
     starts = jnp.minimum(raw_start, n_tiles - tb).astype(jnp.int32)
     idx = starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]
     ol = owner[idx] - ent_starts_d[:, None]

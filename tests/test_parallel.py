@@ -322,6 +322,40 @@ def test_distributed_ials_events_matches_single_device():
     assert stats["epochs"][0]["comm_bytes"] > 0
 
 
+def test_distributed_ials_events_multi_batch_bands():
+    """Regression: bands with MORE entities than ``batch_entities`` and
+    unequal event padding.  Restaging a band with ``pad_events_to`` used
+    the inflated tile count for the final batch's window, so the
+    recomputed tb exceeded the forced ``window_tiles`` and the per-band
+    geometries diverged (jnp.stack ValueError) — exactly the realistic
+    beyond-HBM regime (Netflix: ~60k local users vs batch_entities=4096)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from polara_tpu.ops.implicit import ials_train_events
+    from polara_tpu.parallel.distributed import distributed_ials_events
+    from polara_tpu.runtime.mesh import make_mesh
+
+    rs = np.random.RandomState(11)
+    coo = sp.random(200, 40, density=0.15, random_state=rs,
+                    data_rvs=lambda s: rs.randint(1, 6, s)
+                    .astype(float)).tocoo()
+    mesh = make_mesh(n_devices=8, axes=("users",), shape=(8,))
+    # n_local = 25 users/band > batch_entities=7 → 4 entity batches per
+    # user band; random density makes per-band event padding unequal.
+    dist = distributed_ials_events(coo.row, coo.col, coo.data, coo.shape,
+                                   rank=4, mesh=mesh, num_epochs=2,
+                                   seed=3, tile=8, batch_entities=7,
+                                   dtype=jnp.float64)
+    single = ials_train_events(coo.row, coo.col, coo.data, coo.shape,
+                               rank=4, num_epochs=2, seed=3, tile=8,
+                               batch_entities=7, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(dist.user),
+                               np.asarray(single.user), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dist.item),
+                               np.asarray(single.item), atol=1e-8)
+
+
 def test_distributed_ials_events_empty_bands():
     """Fewer items than devices: some item bands carry zero events and
     run on the zero-weight placeholder; zero-event entities stay zero."""
