@@ -204,19 +204,24 @@ def _score_topk_kernel(proj_ref, items_ref, seen_bits_ref, out_vals_ref,
 
 @functools.partial(jax.jit, static_argnames=("k", "filter_seen", "tile_n",
                                              "n_valid_cols", "block_users",
-                                             "interpret", "select"))
+                                             "interpret", "select",
+                                             "return_values"))
 def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
                      seen_bits: jax.Array, k: int,
                      filter_seen: bool = True, tile_n: int = 4096,
                      n_valid_cols: int | None = None,
                      block_users: int = 128,
                      interpret: bool = False,
-                     select: str = "chain") -> jax.Array:
+                     select: str = "chain",
+                     return_values: bool = False) -> jax.Array:
     """Top-k item indices of ``proj @ item_factorsᵀ`` per user.
 
     ``seen_bits``: (n_users, ceil(n_items_padded / 32)) uint32 bitmask of
     seen items (see :func:`pack_seen_bits`).  Returns (n_users, k) int32
-    indices, PAD_CONST where fewer than k valid items exist.
+    indices, PAD_CONST where fewer than k valid items exist.  With
+    ``return_values`` also returns the (n_users, k) f32 scores (-inf on
+    PAD slots) — the 2-D mesh path merges per-item-shard candidates by
+    score.
     """
     if k > CARRY_WIDTH:
         raise ValueError(f"pallas top-k supports k <= {CARRY_WIDTH}")
@@ -253,7 +258,7 @@ def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
         _score_topk_kernel, k=k, tile_n=tile_n, n_items=n_valid,
         filter_seen=filter_seen, interpret=interpret, select=select)
 
-    _, out_idx = pl.pallas_call(
+    out_vals, out_idx = pl.pallas_call(
         kernel,
         grid=(u_tiles, n_tiles),
         in_specs=[
@@ -281,6 +286,8 @@ def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
         interpret=interpret,
     )(proj.astype(jnp.float32), item_factors.astype(jnp.float32),
       seen_bits.astype(jnp.uint32))
+    if return_values:
+        return out_vals[:n_users, :k], out_idx[:n_users, :k]
     return out_idx[:n_users, :k]
 
 

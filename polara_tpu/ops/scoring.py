@@ -108,14 +108,16 @@ class ChunkedTestData:
         return cls(chunks=chunks, chunk_users=chunk_users,
                    n_users=n_users, n_items=n_items)
 
-    def seen_bits(self, chunk_idx: int, n_items: int) -> jax.Array:
+    def seen_bits(self, chunk_idx: int, n_items: int,
+                  tile_n: int = 4096) -> jax.Array:
         """Packed seen-item bitmask for a chunk (cached — the test split
         is fixed for a plan's lifetime, so packing happens once even
-        across model rebuilds)."""
+        across model rebuilds).  ``tile_n`` must match the kernel's item
+        tile (the striped word layout is tile-relative)."""
         cache = getattr(self, "_seen_bits_cache", None)
         if cache is None:
             cache = self._seen_bits_cache = {}
-        key = (chunk_idx, n_items)
+        key = (chunk_idx, n_items, tile_n)
         bits = cache.get(key)
         if bits is None:
             from polara_tpu.ops.pallas import pack_seen_bits
@@ -124,7 +126,7 @@ class ChunkedTestData:
             bits = jnp.asarray(pack_seen_bits(
                 np.asarray(chunk.rows)[valid],
                 np.asarray(chunk.cols)[valid],
-                self.chunk_users, n_items))
+                self.chunk_users, n_items, tile_n=tile_n))
             cache[key] = bits
         return bits
 
@@ -230,27 +232,56 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
     ``proj_fn(params, chunk) -> (chunk_users, r)`` produces the user-side
     panel; ``params["item_panel"]`` is the (n_items, r) item-side panel.
 
-    With ``mesh`` set, the kernel runs per user-shard under ``shard_map``
-    (proj rows and seen-bit rows shard over the first mesh axis, the item
-    panel replicates) — users are embarrassingly parallel, so the fused
-    streaming kernel survives multi-chip scaling instead of falling back
-    to the HBM-round-tripping XLA path.
+    With ``mesh`` set, the kernel runs per shard under ``shard_map``.
+    Proj rows and seen-bit rows always shard over the first mesh axis
+    (users are embarrassingly parallel); when the mesh has a second axis
+    of size > 1, the item panel AND the seen-bit words shard over it too
+    — each device streams only its item slice through VMEM, takes a
+    local fused top-k, and the per-shard candidate panels merge with one
+    (k × n_model)-float all-gather per user row (the two-stage
+    distributed top-k of ``sharded_score_topk_2d``, brought to the fused
+    kernel).  At Netflix-scale catalogs this removes the last replicated
+    panel (seen bits: users_shard × n_items/32 per device).
     """
     from polara_tpu.ops.pallas import fused_score_topk
 
     if select is None:
         select = defaults.get_default("pallas_select")
     panel = params["item_panel"]
-    n_valid = n_valid_cols if n_valid_cols is not None else panel.shape[0]
+    n_items = panel.shape[0]
+    n_valid = n_valid_cols if n_valid_cols is not None else n_items
     proj_jit = compiled_proj(proj_fn)
+    n_model = 1
     if mesh is not None:
+        n_dev = mesh.shape[mesh.axis_names[0]]
+        if len(mesh.axis_names) > 1:
+            n_model = mesh.shape[mesh.axis_names[1]]
+    if n_model > 1:
+        per_shard = -(-n_items // n_model)
+        tile2 = 4096 if per_shard >= 4096 else -(-per_shard // 128) * 128
+        shard_items = -(-per_shard // tile2) * tile2
+        total_pad = shard_items * n_model
+        panel = jnp.pad(panel, ((0, total_pad - n_items), (0, 0)))
+        invalid_row = jnp.asarray(_invalid_col_bits(n_valid, total_pad,
+                                                    tile2))
+        step = _fused_mesh_step_2d(mesh, topk, shard_items, tile2,
+                                   interpret, select)
+    elif mesh is not None:
         step = _fused_mesh_step(mesh, topk, filter_seen, n_valid, interpret,
                                 select)
-        n_dev = mesh.shape[mesh.axis_names[0]]
     parts = []
     for c, chunk in enumerate(data.chunks):
         proj = proj_jit(params, chunk)
-        seen_bits = data.seen_bits(c, panel.shape[0])
+        if n_model > 1:
+            if filter_seen:
+                seen_bits = data.seen_bits(c, total_pad, tile_n=tile2)
+                seen_bits = seen_bits | invalid_row[None, :]
+            else:
+                seen_bits = jnp.broadcast_to(
+                    invalid_row[None, :],
+                    (proj.shape[0], invalid_row.shape[0]))
+        else:
+            seen_bits = data.seen_bits(c, n_items)
         if mesh is None:
             recs = fused_score_topk(proj, panel, seen_bits, topk,
                                     filter_seen=filter_seen,
@@ -269,6 +300,21 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
     if device:
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
     return np.concatenate(parts, axis=0)
+
+
+def _invalid_col_bits(n_valid: int, n_cols_pad: int,
+                      tile_n: int) -> np.ndarray:
+    """One striped-layout word row with bits set for every column in
+    ``[n_valid, n_cols_pad)`` — ORed into the seen mask so per-shard
+    validity needs no per-device static argument under shard_map (the
+    SPMD trace is shared across shards)."""
+    w = tile_n // 32
+    words = np.zeros(max(1, n_cols_pad // tile_n) * w, np.uint32)
+    cols = np.arange(n_valid, n_cols_pad)
+    off = cols % tile_n
+    np.bitwise_or.at(words, (cols // tile_n) * w + off % w,
+                     np.uint32(1) << (off // w).astype(np.uint32))
+    return words
 
 
 def _fused_mesh_step(mesh, topk: int, filter_seen: bool, n_valid: int,
@@ -295,6 +341,52 @@ def _fused_mesh_step(mesh, topk: int, filter_seen: bool, n_valid: int,
         step = jax.jit(shard_map(
             local_step, mesh=mesh,
             in_specs=(P(users_axis, None), P(), P(users_axis, None)),
+            out_specs=P(users_axis, None), check_vma=False))
+        _step_cache[key] = step
+    return step
+
+
+def _fused_mesh_step_2d(mesh, topk: int, shard_items: int, tile_n: int,
+                        interpret: bool, select: str = "chain"):
+    """Fused kernel over a 2-D (users × model) mesh: the item panel and
+    the seen-bit words shard over the model axis; per-shard fused top-k
+    candidates merge by score through one all-gather (two-stage
+    distributed top-k).  Invalid/padded columns arrive pre-masked in the
+    seen bits (see ``_invalid_col_bits``), so the kernel always runs
+    ``filter_seen=True`` with ``n_valid_cols == shard_items`` — one SPMD
+    trace serves every shard.  Tie rule is preserved end-to-end: within
+    a shard the kernel picks the lowest index; across shards the gather
+    orders candidates by ascending shard (= ascending global index) and
+    ``lax.top_k`` keeps the first occurrence of equal values.
+    """
+    key = ("fused_mesh_2d", mesh, topk, shard_items, tile_n, interpret,
+           select)
+    step = _step_cache.get(key)
+    if step is None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from polara_tpu.ops.pallas import fused_score_topk
+        from polara_tpu.ops.topk import PAD_CONST
+
+        users_axis, model_axis = mesh.axis_names[0], mesh.axis_names[1]
+
+        def local_step(proj, panel, seen_bits):
+            vals, idx = fused_score_topk(
+                proj, panel, seen_bits, topk, filter_seen=True,
+                tile_n=tile_n, n_valid_cols=shard_items,
+                interpret=interpret, select=select, return_values=True)
+            col_base = jax.lax.axis_index(model_axis) * shard_items
+            idx = jnp.where(idx == PAD_CONST, PAD_CONST, idx + col_base)
+            vals = jax.lax.all_gather(vals, model_axis, axis=1, tiled=True)
+            idx = jax.lax.all_gather(idx, model_axis, axis=1, tiled=True)
+            _, pos = jax.lax.top_k(vals, topk)
+            return jnp.take_along_axis(idx, pos, axis=1).astype(jnp.int32)
+
+        step = jax.jit(shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(users_axis, None), P(model_axis, None),
+                      P(users_axis, model_axis)),
             out_specs=P(users_axis, None), check_vma=False))
         _step_cache[key] = step
     return step
