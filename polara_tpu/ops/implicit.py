@@ -222,43 +222,55 @@ class EllSide(NamedTuple):
     exactly one entity — per-tile normal-equation contributions become
     batched MXU matmuls, and the per-entity reduction is a tiny
     ``segment_sum`` over tile owners instead of a scatter over events.
-    Entities batch in natural order (events are sorted by entity), each
-    batch covering a clamped static window of ``tb`` tiles; tiles inside
-    the window that belong to another batch map to a dump segment.
+    Entities batch in natural order (events are sorted by entity) under
+    an EVENT budget — variable entity counts per batch, equalized tile
+    spans — so Zipf-skewed sides (the popular item head) never blow the
+    window past HBM the way fixed entity counts did (a 4096-item head
+    batch at Netflix scale owned ~58M events, a ~23 GB gather).  Each
+    batch covers a clamped static window of ``tb`` tiles; tiles inside
+    the window that belong to another batch map to a dump segment, and
+    each batch writes back only its own ``n_ents`` rows, so overlapping
+    or zero-entity (padding) batches are no-ops.
     """
     minor: jax.Array        # (e_pad,) int32 — other-side ids, 0 on padding
     w: jax.Array            # (e_pad,) float — C-1 margins, 0 on padding
     starts: jax.Array       # (n_batches,) int32 — tile offset per batch
     ent_starts: jax.Array   # (n_batches,) int32 — first entity per batch
+    n_ents: jax.Array       # (n_batches,) int32 — entities owned per batch
     owner_local: jax.Array  # (n_batches, tb) int32 in [0, batch_entities]
     n_entities: int
-    batch_entities: int
+    batch_entities: int     # static per-batch segment width (>= max n_ents)
     tile: int
 
 
 def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
                       n_major: int, tile: int = 128,
                       batch_entities: int = 4096,
+                      max_window_events: int = 4_000_000,
                       pad_events_to: int = 0,
-                      window_tiles: int = 1) -> EllSide:
-    """Device-side staging of one :class:`EllSide`.
+                      window_tiles: int = 1,
+                      pad_batches_to: int = 0,
+                      min_batch_entities: int = 0) -> EllSide:
+    """Stage one :class:`EllSide` (scatter on device, plan on host).
 
     ``maj`` must be sorted ascending (sort on device first for the
-    column side).  Two tiny host syncs fix the static padded-event and
-    window-tile counts.
+    column side).  One host fetch of the per-entity tile counts drives
+    the greedy batch plan: consecutive entities pack into a batch until
+    its tile span would exceed ``max_window_events`` (or the entity
+    count exceeds ``batch_entities``), so per-batch gather windows are
+    equalized regardless of popularity skew and peak live memory per
+    half-sweep step is ~``max_window_events × k`` floats.
 
-    ``pad_events_to`` / ``window_tiles`` force minimum static shapes so
-    several independently staged sides share one geometry — the mesh
-    path (:func:`polara_tpu.parallel.distributed.distributed_ials_events`)
+    ``pad_events_to`` / ``window_tiles`` / ``pad_batches_to`` /
+    ``min_batch_entities`` force minimum static shapes so several
+    independently staged sides share one geometry — the mesh path
+    (:func:`polara_tpu.parallel.distributed.distributed_ials_events`)
     stages one side per device band and shard_map needs them uniform.
-    Tail tiles introduced by ``pad_events_to`` carry only zero-weight
-    events (``jnp.repeat(..., total_repeat_length=...)`` assigns them to
-    the last entity, whose Gram/rhs contributions are all zero), and a
-    widened window only pulls other batches' tiles, which the local-owner
-    mask already dumps.
+    All four only inflate: pad-tail tiles carry zero-weight events,
+    padding batches own zero entities (masked write → no-op), a widened
+    window only pulls tiles the owner mask dumps, and a widened segment
+    count only solves extra rows the ``n_ents`` write mask drops.
     """
-    import math as _math
-
     nnz = maj.shape[0]
     maj = maj.astype(jnp.int32)
     ones = jnp.ones((nnz,), jnp.int32)
@@ -269,60 +281,75 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
     ev_start = jnp.cumsum(counts) - counts
     pos = jnp.arange(nnz, dtype=jnp.int32) - ev_start[maj]
     dst = base[maj] + pos
-    e_pad_nat = int(jnp.sum(pc))                   # host sync (scalar)
-    if e_pad_nat == 0 and not pad_events_to:
+
+    tiles_np = np.asarray(pc // tile, dtype=np.int64)       # host fetch
+    cum = np.concatenate(([0], np.cumsum(tiles_np)))
+    nat_tiles = int(cum[-1])
+    if nat_tiles == 0 and not pad_events_to:
         raise ValueError("empty event stream")
-    e_pad = max(e_pad_nat, -(-int(pad_events_to) // tile) * tile)
+    e_pad = max(nat_tiles * tile,
+                -(-int(pad_events_to) // tile) * tile)
+    n_tiles = e_pad // tile
     minor_p = jnp.zeros((e_pad,), jnp.int32).at[dst].set(
         minor.astype(jnp.int32), unique_indices=True)
     w_p = jnp.zeros((e_pad,), cm1.dtype).at[dst].set(
         cm1, unique_indices=True)
 
-    tiles_per = pc // tile
-    n_tiles = e_pad // tile
-    owner = jnp.repeat(jnp.arange(n_major, dtype=jnp.int32), tiles_per,
+    # trailing pad tiles belong to the last entity (zero-weight events)
+    owner = jnp.repeat(jnp.arange(n_major, dtype=jnp.int32),
+                       jnp.asarray(tiles_np, jnp.int32),
                        total_repeat_length=n_tiles)
-    ent_tile_start = jnp.cumsum(tiles_per) - tiles_per
 
-    batch_entities = min(batch_entities, n_major)
-    n_batches = -(-n_major // batch_entities)
-    ent_starts = np.minimum(np.arange(n_batches) * batch_entities,
-                            n_major - batch_entities).astype(np.int32)
-    ent_starts_d = jnp.asarray(ent_starts)
-    raw_start = ent_tile_start[ent_starts_d]
-    ent_end = ent_starts_d + batch_entities          # <= n_major
-    # The final batch ends at the band's OWN unpadded tile count —
-    # ``pad_events_to`` inflates ``n_tiles`` with zero-weight tail tiles
-    # that never need windowing (using the inflated count here made the
-    # recomputed tb exceed a forced ``window_tiles`` whenever the band
-    # had more than one entity batch, breaking the uniform mesh
-    # geometry that restaging exists to provide).
-    end_tiles = jnp.where(
-        ent_end < n_major,
-        ent_tile_start[jnp.minimum(ent_end, n_major - 1)],
-        e_pad_nat // tile)
-    tb = int(jnp.max(end_tiles - raw_start))      # host sync (scalar)
-    tb = max(tb, 1, int(window_tiles))
+    # greedy equalized batch plan (host, O(n_batches) searchsorted steps)
+    budget_tiles = max(1, -(-int(max_window_events) // tile))
+    be_cap = max(1, min(batch_entities, n_major))
+    b_start, b_ents = [], []
+    s = 0
+    while s < n_major:
+        e = int(np.searchsorted(cum, cum[s] + budget_tiles,
+                                side="right")) - 1
+        e = min(max(e, s + 1), s + be_cap, n_major)
+        b_start.append(s)
+        b_ents.append(e - s)
+        s = e
+    be_seg = min(max(max(b_ents), int(min_batch_entities), 1), n_major)
+    ent0 = np.minimum(np.asarray(b_start), n_major - be_seg)
+    # coverage from the clamped start: clamped-in earlier entities are
+    # fully inside the window (span below includes them), so the batch
+    # recomputes them correctly — overlap between batches is idempotent
+    n_ents = np.minimum(np.asarray(b_start) + np.asarray(b_ents),
+                        n_major) - ent0
+    span = cum[ent0 + n_ents] - cum[ent0]
+    tb = max(int(span.max()), 1, int(window_tiles))
     if tb * tile > e_pad:
         raise ValueError(
             f"window of {tb} tiles exceeds the padded event stream "
             f"({e_pad} events); raise pad_events_to to at least "
             f"{tb * tile}")
-    starts = jnp.minimum(raw_start, n_tiles - tb).astype(jnp.int32)
+    if pad_batches_to > len(ent0):                 # zero-entity no-ops
+        extra = pad_batches_to - len(ent0)
+        ent0 = np.concatenate([ent0, np.zeros(extra, ent0.dtype)])
+        n_ents = np.concatenate([n_ents, np.zeros(extra, n_ents.dtype)])
+    raw_start = np.minimum(cum[ent0], n_tiles - tb)
+
+    starts = jnp.asarray(raw_start, jnp.int32)
+    ent_starts_d = jnp.asarray(ent0, jnp.int32)
+    n_ents_d = jnp.asarray(n_ents, jnp.int32)
     idx = starts[:, None] + jnp.arange(tb, dtype=jnp.int32)[None, :]
     ol = owner[idx] - ent_starts_d[:, None]
-    ol = jnp.where((ol >= 0) & (ol < batch_entities), ol,
-                   batch_entities).astype(jnp.int32)
+    ol = jnp.where((ol >= 0) & (ol < n_ents_d[:, None]), ol,
+                   be_seg).astype(jnp.int32)
     return EllSide(minor=minor_p, w=w_p, starts=starts,
-                   ent_starts=ent_starts_d, owner_local=ol,
-                   n_entities=n_major, batch_entities=batch_entities,
-                   tile=tile)
+                   ent_starts=ent_starts_d, n_ents=n_ents_d,
+                   owner_local=ol, n_entities=n_major,
+                   batch_entities=be_seg, tile=tile)
 
 
 @partial(jax.jit, static_argnames=("n_entities", "batch_entities",
                                    "tile"))
-def _ell_half_sweep(minor_p, w_p, starts, ent_starts, owner_local, other,
-                    reg, n_entities: int, batch_entities: int, tile: int):
+def _ell_half_sweep(minor_p, w_p, starts, ent_starts, n_ents, owner_local,
+                    other, reg, n_entities: int, batch_entities: int,
+                    tile: int):
     """One streaming half-sweep: solve every entity's k×k normal system
     from its tile-aligned events.
 
@@ -331,14 +358,17 @@ def _ell_half_sweep(minor_p, w_p, starts, ent_starts, owner_local, other,
     matmuls (MXU — this is where the nnz·k² flops live), segment-sum the
     (tile-count × k × k) contributions by local owner, and run one
     vmapped Cholesky solve.  Peak live memory is one (tb·tile, k) gather
-    window — independent of nnz.
+    window — bounded by the staging event budget, independent of nnz.
+    Each batch writes back only its own ``n_ents`` rows, so geometry
+    padding (zero-entity batches, widened segment counts) is a no-op.
     """
     k = other.shape[1]
     tb = owner_local.shape[1]
     gram = other.T @ other + reg * jnp.eye(k, dtype=other.dtype)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (batch_entities, 1), 0)
 
     def body(out, batch):
-        st, ent0, ol = batch
+        st, ent0, ne, ol = batch
         ev0 = st * tile
         msl = jax.lax.dynamic_slice(minor_p, (ev0,), (tb * tile,))
         wsl = jax.lax.dynamic_slice(w_p, (ev0,), (tb * tile,))
@@ -356,10 +386,14 @@ def _ell_half_sweep(minor_p, w_p, starts, ent_starts, owner_local, other,
         x = jax.scipy.linalg.cho_solve(chol,
                                        r[:batch_entities][..., None])[..., 0]
         zero = jnp.zeros((), ent0.dtype)
+        cur = jax.lax.dynamic_slice(out, (ent0, zero),
+                                    (batch_entities, k))
+        x = jnp.where(rowid < ne, x, cur)
         return jax.lax.dynamic_update_slice(out, x, (ent0, zero)), None
 
     out = jnp.zeros((n_entities, k), other.dtype)
-    out, _ = jax.lax.scan(body, out, (starts, ent_starts, owner_local))
+    out, _ = jax.lax.scan(body, out,
+                          (starts, ent_starts, n_ents, owner_local))
     return out
 
 
@@ -369,6 +403,7 @@ def ials_train_events(rows: np.ndarray, cols: np.ndarray,
                       epsilon: float = 1.0, reg: float = 0.01,
                       num_epochs: int = 15, seed: Optional[int] = 0,
                       tile: int = 128, batch_entities: int = 4096,
+                      max_window_events: int = 4_000_000,
                       dtype=jnp.float32) -> ImplicitFactors:
     """Streaming iALS over the raw event stream — the beyond-HBM tier.
 
@@ -404,12 +439,14 @@ def ials_train_events(rows: np.ndarray, cols: np.ndarray,
         rows_d, cols_d, cm1 = rows_d[order], cols_d[order], cm1[order]
     user_side = stage_events_side(rows_d, cols_d, cm1, n_users,
                                   tile=tile,
-                                  batch_entities=batch_entities)
+                                  batch_entities=batch_entities,
+                                  max_window_events=max_window_events)
     corder = jnp.argsort(cols_d, stable=True)
     item_side = stage_events_side(cols_d[corder], rows_d[corder],
                                   cm1[corder], n_items, tile=tile,
                                   batch_entities=min(batch_entities,
-                                                     n_items))
+                                                     n_items),
+                                  max_window_events=max_window_events)
 
     key = jax.random.key(0 if seed is None else seed)
     item_factors = (jax.random.normal(key, (n_items, rank), dtype)
@@ -419,7 +456,8 @@ def ials_train_events(rows: np.ndarray, cols: np.ndarray,
 
     def half(side: EllSide, other):
         return _ell_half_sweep(side.minor, side.w, side.starts,
-                               side.ent_starts, side.owner_local, other,
+                               side.ent_starts, side.n_ents,
+                               side.owner_local, other,
                                reg_d, n_entities=side.n_entities,
                                batch_entities=side.batch_entities,
                                tile=side.tile)

@@ -241,6 +241,7 @@ def distributed_ials_events(rows: np.ndarray, cols: np.ndarray,
                             reg: float = 0.01, num_epochs: int = 15,
                             seed: Optional[int] = 0, tile: int = 128,
                             batch_entities: int = 4096,
+                            max_window_events: int = 4_000_000,
                             dtype=jnp.float32,
                             train_stats: Optional[dict] = None):
     """Streaming (beyond-HBM) iALS with the event stream sharded over the
@@ -311,22 +312,43 @@ def distributed_ials_events(rows: np.ndarray, cols: np.ndarray,
                 wb = jnp.zeros((1,), dtype)
             per_band.append((mb, nb, wb))
         first = [stage_events_side(mb, nb, wb, n_local, tile=tile,
-                                   batch_entities=be)
+                                   batch_entities=be,
+                                   max_window_events=max_window_events)
                  for mb, nb, wb in per_band]
-        e_pad = max(s.minor.shape[0] for s in first)
-        tb = max(s.owner_local.shape[1] for s in first)
-        sides = [s if (s.minor.shape[0] == e_pad
-                       and s.owner_local.shape[1] == tb)
+        # uniform geometry across bands: all four forcings only inflate
+        # (pad-tail tiles are zero-weight, padding batches own zero
+        # entities, widened windows are owner-masked, widened segment
+        # counts are n_ents-write-masked).  The segment width must be
+        # forced FIRST — it feeds the batch-start clamping, so the
+        # window/e_pad/batch-count maxima are only fixed points once
+        # every band plans at the same ``be_seg``.
+        be_seg = max(s.batch_entities for s in first)
+        first = [s if s.batch_entities == be_seg
                  else stage_events_side(mb, nb, wb, n_local, tile=tile,
                                         batch_entities=be,
+                                        max_window_events=max_window_events,
+                                        min_batch_entities=be_seg)
+                 for s, (mb, nb, wb) in zip(first, per_band)]
+        e_pad = max(s.minor.shape[0] for s in first)
+        tb = max(s.owner_local.shape[1] for s in first)
+        nb_u = max(s.starts.shape[0] for s in first)
+        sides = [s if (s.minor.shape[0] == e_pad
+                       and s.owner_local.shape[1] == tb
+                       and s.starts.shape[0] == nb_u)
+                 else stage_events_side(mb, nb, wb, n_local, tile=tile,
+                                        batch_entities=be,
+                                        max_window_events=max_window_events,
                                         pad_events_to=e_pad,
-                                        window_tiles=tb)
+                                        window_tiles=tb,
+                                        pad_batches_to=nb_u,
+                                        min_batch_entities=be_seg)
                  for s, (mb, nb, wb) in zip(first, per_band)]
         dev_sharding = NamedSharding(mesh, P(axis))
         stack = lambda field: jax.device_put(
             jnp.stack([getattr(s, field) for s in sides]), dev_sharding)
         return (stack("minor"), stack("w"), stack("starts"),
-                stack("ent_starts"), stack("owner_local")), be
+                stack("ent_starts"), stack("n_ents"),
+                stack("owner_local")), be_seg
 
     u_arrays, be_u = stage_banded(rows_d, cols_d, cm1, n_users, nl_u)
     i_arrays, be_i = stage_banded(cols_d, rows_d, cm1, n_items, nl_i)
@@ -346,9 +368,10 @@ def distributed_ials_events(rows: np.ndarray, cols: np.ndarray,
                        .reshape(n_pad, k)
 
     def half(arrays, other, n_local, be):
-        minor_p, w_p, starts, ent_starts, ol = (a[0] for a in arrays)
+        minor_p, w_p, starts, ent_starts, n_ents, ol = \
+            (a[0] for a in arrays)
         return _ell_half_sweep.__wrapped__(
-            minor_p, w_p, starts, ent_starts, ol, other, reg_d,
+            minor_p, w_p, starts, ent_starts, n_ents, ol, other, reg_d,
             n_entities=n_local, batch_entities=be, tile=tile)
 
     def epoch_local(u_arrays, i_arrays, y_full):
@@ -363,7 +386,7 @@ def distributed_ials_events(rows: np.ndarray, cols: np.ndarray,
     dev = P(axis)
     epoch = jax.jit(shard_map(
         epoch_local, mesh=mesh,
-        in_specs=((dev,) * 5, (dev,) * 5, P()),
+        in_specs=((dev,) * 6, (dev,) * 6, P()),
         out_specs=(P(), P()), check_vma=False))
 
     itemsize = jnp.dtype(dtype).itemsize
