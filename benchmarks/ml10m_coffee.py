@@ -1,0 +1,106 @@
+"""CoFFee (HOOI Tucker) at ML-10M geometry on one chip — a scale the
+reference's numba ttm kernels never reached.
+
+The reference's tensor path (``polara/lib/sparse.py:203-234`` dttm +
+ARPACK loop) is benchmarked only at ML-1M; at ML-10M the dense
+(users x items x levels) tensor is ~14 GiB f32, past the HBM score
+budget, so ``CoffeeModel.build`` routes to the COO segment-sum HOOI
+(``ops/hooi.py:_hooi_until``): per sweep, each ttm is one fused gather +
+``segment_sum`` over the joint (entity, level) key — the (nnz, r)
+contribution block at this scale is ~0.5 GiB, the only large transient.
+
+Self-checks: HOOI core-growth convergence below the tolerance, and the
+model must beat the popularity baseline on HR@10 (the structural quality
+bar — no published reference number exists at this scale, so
+``vs_baseline`` is null).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/ml10m_coffee.py
+
+Prints ONE JSON line on stdout (progress on stderr).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+from polara_tpu.runtime.timing import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import pandas as pd
+
+from polara_tpu.data import RecommenderData
+from polara_tpu.datasets.synthetic import load_or_make_ml10m
+from polara_tpu.models import CoffeeModel, PopularityModel
+
+MLRANK = (13, 10, 2)      # the reference tutorial's CoFFee configuration
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    rows, cols, vals = load_or_make_ml10m(log=log)
+    order = np.random.RandomState(11).permutation(len(rows))
+    events = pd.DataFrame({
+        "userid": rows[order].astype(np.int64),
+        "movieid": cols[order].astype(np.int64),
+        "rating": vals[order].astype(np.int64)})
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.holdout_size = 1
+    data.test_ratio = 0.2
+    data.random_holdout = True
+    data.prepare()
+    n_levels = len(data.index.feedback)
+    log(f"tensor geometry: {len(data.index.userid.training)} x "
+        f"{len(data.index.itemid)} x {n_levels}, "
+        f"{len(data.training)} train events")
+
+    model = CoffeeModel(data)
+    model.mlrank = MLRANK
+    model.verbose = False
+
+    t0 = time.perf_counter()
+    model.build()
+    log(f"warm-up build (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    timings = []
+    for i in range(3):
+        model.seed = i + 1          # fresh init; same compiled executable
+        t0 = time.perf_counter()
+        model.build()
+        # block_until_ready does not sync through the axon tunnel
+        # (CLAUDE.md): force ONE tiny host copy so the timing is honest
+        np.asarray(model.factors["core"]).ravel()[:1]
+        timings.append(time.perf_counter() - t0)
+        log(f"run {i}: {timings[-1]:.2f}s")
+    best = min(timings)
+
+    rel = model.evaluate("relevance", topk=10)
+    mp = PopularityModel(data)
+    mp.verbose = False
+    mp_rel = mp.evaluate("relevance", topk=10)
+    log(f"CoFFee hr@10={float(rel.hr):.4f} vs MP hr@10={float(mp_rel.hr):.4f}")
+    assert float(rel.hr) > float(mp_rel.hr), \
+        "CoFFee fell below the popularity baseline"
+
+    print(json.dumps({
+        "metric": "ml10m_coffee_build",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": None,
+        "mlrank": list(MLRANK),
+        "n_levels": n_levels,
+        "nnz": int(len(data.training)),
+        "hr10": round(float(rel.hr), 6),
+        "hr10_mp_baseline": round(float(mp_rel.hr), 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from polara_tpu.datasets.synthetic import NETFLIX_GEOMETRY, load_or_make_netflix
 from polara_tpu.ops.rsvd import randomized_svd_krylov
-from polara_tpu.ops.sparse import chunked_coo_operator
+from polara_tpu.ops.sparse import tiled_coo_operator, tiled_power_operator
 
 N_USERS = NETFLIX_GEOMETRY["n_users"]
 N_ITEMS = NETFLIX_GEOMETRY["n_items"]
@@ -97,19 +97,21 @@ def exact_factor_study(rows, cols, vals, use_fused):
     north-star closure, at 10x the events (no dense block anywhere)."""
     import jax.numpy as jnp
     from polara_tpu.ops.rsvd import randomized_svd_krylov
-    from polara_tpu.ops.sparse import chunked_coo_operator
+    from polara_tpu.ops.sparse import tiled_coo_operator, tiled_power_operator
 
     pick, hold_mask = _holdout_split(rows)
     hold_items = cols[pick]
     vals_train = vals.copy()
     vals_train[pick] = 0.0          # zero-valued events contribute nothing
-    op_train = chunked_coo_operator(rows, cols, vals_train,
-                                    (N_USERS, N_ITEMS),
-                                    event_chunk=EVENT_CHUNK,
-                                    assume_sorted=True)
+    op_train = tiled_coo_operator(rows, cols, vals_train,
+                                  (N_USERS, N_ITEMS),
+                                  event_chunk=EVENT_CHUNK,
+                                  assume_sorted=True)
     v_exact = _exact_reference_v(rows, cols, vals, hold_mask)
     result = randomized_svd_krylov(op_train, RANK, depth=KRYLOV_DEPTH,
-                                   seed=0, dtype=jnp.float32)
+                                   seed=0, dtype=jnp.float32,
+                                   power_operator=tiled_power_operator(
+                                       op_train))
 
     keep = ~hold_mask
     if not use_fused:  # pragma: no cover - CPU would need a chunked top-k
@@ -179,11 +181,13 @@ def main():
         f"(dense f32 would be {N_USERS * N_ITEMS * 4 / 2**30:.1f} GiB)")
 
     t0 = time.perf_counter()
-    op = chunked_coo_operator(rows, cols, vals, (N_USERS, N_ITEMS),
-                              event_chunk=EVENT_CHUNK, assume_sorted=True)
-    n_chunks = op.operands[0].shape[0]
-    log(f"chunked operator resident: {n_chunks} chunks x {EVENT_CHUNK} "
-        f"events, span {op.operands[4].shape[0]} rows "
+    op = tiled_coo_operator(rows, cols, vals, (N_USERS, N_ITEMS),
+                            event_chunk=EVENT_CHUNK, assume_sorted=True)
+    pow_op = tiled_power_operator(op)     # bf16 value panels, shared ids
+    n_chunks = op.operands[0][0].shape[0]
+    log(f"tiled operator resident: {n_chunks} chunks x "
+        f"{op.operands[0][0].shape[1]} events/side, row span "
+        f"{op.operands[0][4].shape[0]} "
         f"({time.perf_counter() - t0:.1f}s to stage)")
 
     use_fused = jax.default_backend() == "tpu"
@@ -197,9 +201,10 @@ def main():
 
     to_i16 = jax.jit(lambda r: r.astype(jnp.int16))
 
-    def build_and_score(op):
+    def build_and_score(op, pow_op):
         result = randomized_svd_krylov(op, RANK, depth=KRYLOV_DEPTH,
-                                       seed=0, dtype=jnp.float32)
+                                       seed=0, dtype=jnp.float32,
+                                       power_operator=pow_op)
         proj = op.mm(result.v)                        # (users, rank)
         if use_fused:
             recs_dev = fused_score_topk(proj, result.v, seen_bits, TOPK,
@@ -217,21 +222,27 @@ def main():
         return result, proj, recs
 
     t0 = time.perf_counter()
-    result, proj, recs = build_and_score(op)
+    result, proj, recs = build_and_score(op, pow_op)
     log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s; "
         f"recs shape {recs.shape}")
 
+    def perturb(operator, delta):
+        """Perturb one event value so async dispatch cannot fake the
+        timing (operands are ((row_side), (col_side)) 5-tuples)."""
+        row_side, col_side = operator.operands
+        mc, vc, lo, st, pr = row_side
+        row_side = (mc, vc.at[0, 0].add(jnp.asarray(delta, vc.dtype)),
+                    lo, st, pr)
+        return type(operator)(shape=operator.shape, mm_fn=operator.mm_fn,
+                              rmm_fn=operator.rmm_fn,
+                              operands=(row_side, col_side),
+                              dtype=operator.dtype)
+
     timings = []
     for i in range(3):
-        # perturb one rating so async dispatch cannot fake the timing
-        lrows_, cols_, vals_, starts_, probe_ = op.operands
-        varied = type(op)(shape=op.shape, mm_fn=op.mm_fn, rmm_fn=op.rmm_fn,
-                          operands=(lrows_, cols_,
-                                    vals_.at[0, 0].add(1e-3 * (i + 1)),
-                                    starts_, probe_),
-                          dtype=op.dtype)
         t0 = time.perf_counter()
-        result, proj, recs = build_and_score(varied)
+        result, proj, recs = build_and_score(perturb(op, 1e-3 * (i + 1)),
+                                             perturb(pow_op, 1e-3 * (i + 1)))
         timings.append(time.perf_counter() - t0)
         log(f"run {i}: {timings[-1]:.2f}s")
     best = min(timings)
