@@ -173,7 +173,11 @@ class SVDModel(RecommenderModel):
                     self._store_factors(result, return_factors)
                     return
                 if coo_bytes > budget:
-                    svd_matrix = matrix.chunked_operator()
+                    # tile-aligned streaming layout: 2.6x faster per
+                    # pass than the event-scatter chunked operator
+                    # (measured on chip at Netflix scale, see
+                    # docs/PERFORMANCE.md)
+                    svd_matrix = matrix.tiled_operator()
                 else:
                     svd_matrix = matrix.operator()
 
