@@ -43,10 +43,6 @@ N_USERS, N_ITEMS, NNZ = 69_878, 10_677, 10_000_054
 # residual (1.66e-3 at 10 vs ~2.2e-3 at 6), not a single delivered
 # recommendation metric.  ~19ms saved per build.
 RANK, TOPK, POWER_ITERS = 50, 10, 6
-# top-k merge strategy inside the fused kernel (A/B via env):
-# "chain" = k-step max/minpos over the concat, "fold" = one tile
-# traversal per extraction (see ops/pallas.py)
-PALLAS_SELECT = os.environ.get("PALLAS_SELECT", "chain")
 BASELINE_SECONDS = 2.0
 VERIFY_USERS = 4096          # slice re-scored through the XLA path
 CACHE = "/tmp/polara_tpu_bench_ml10m_v1.npz"
@@ -121,7 +117,7 @@ def main():
             proj = proj_mm(ratings, result.v)
             recs_dev = fused_score_topk(
                 proj, result.v, seen_bits, TOPK, filter_seen=True,
-                n_valid_cols=N_ITEMS, select=PALLAS_SELECT)
+                n_valid_cols=N_ITEMS)
             # ship ids as int16 (catalog < 32k; PAD_CONST=-1 fits) — the
             # top-10 panel is ~2.8MB at int32 and the device->host copy
             # is bandwidth-bound, so halving the wire format is real

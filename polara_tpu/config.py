@@ -55,15 +55,6 @@ _DEFAULTS: Dict[str, Any] = dict(
     # factor models when topk <= 128; True forces (interpret on CPU);
     # False always uses the XLA path
     pallas_scoring="auto",
-    # top-k merge strategy inside the fused kernel: "chain" (k-step
-    # max/minpos selection over the carry++tile concat) or "fold"
-    # (per-lane chunk fold, one tile traversal per extraction).
-    # Measured at ML-10M geometry (69878x10677, k=10, real v5e through
-    # the tunnel): kernel-only best 69.2 ms chain vs 67.7 ms fold incl.
-    # ~25 ms RTT — parity within noise, so the simpler chain stays
-    # default; fold is retained for k near 128 where chain's
-    # (k+tile)-wide re-reads grow linearly with k.
-    pallas_select="chain",
 )
 
 

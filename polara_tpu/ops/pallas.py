@@ -42,81 +42,10 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fold_select(scores, vals_scr, idx_scr, cols_base, k, tile_n):
-    """Merge one score tile into the top-k carry, one full-tile traversal
-    per extraction.
-
-    Each of the ``k`` extractions folds the tile's 128-lane chunks into a
-    per-lane-position (max, first-chunk) pair — ONE read of the tile —
-    then all remaining work (global max, index tie-break, carry merge,
-    slot write) runs on (U, 128)-narrow arrays, and the knockout touches
-    the tile once more as a single masked write.  The chain variant
-    (``_chain_select``) instead re-reads the 4224-wide concat for its
-    max / minpos / gather reductions, ~2.5x the VMEM traffic.  Tie rule
-    everywhere: lowest item index wins (carry beats tile, first chunk
-    beats later, lower lane-offset beats higher — carry items always
-    come from earlier tiles, i.e. lower indices).
-    """
-    n_users = scores.shape[0]
-    n_chunks = tile_n // 128
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (n_users, 128), 1)
-    pos_a = jax.lax.broadcasted_iota(jnp.int32, (n_users, tile_n), 1) // 128
-    pos_b = jax.lax.broadcasted_iota(jnp.int32, (n_users, tile_n), 1) % 128
-    carry_pos = lane128
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-
-    def extract(i, state):
-        tile_wv, carry_wv, carry_idx, new_vals, new_idx = state
-
-        colmax = jnp.full((n_users, 128), -jnp.inf, scores.dtype)
-        colarg = jnp.zeros((n_users, 128), jnp.int32)
-        for a in range(n_chunks):
-            chunk = tile_wv[:, a * 128:(a + 1) * 128]
-            better = chunk > colmax          # strict: ties keep first chunk
-            colarg = jnp.where(better, a, colarg)
-            colmax = jnp.where(better, chunk, colmax)
-
-        tile_off = colarg * 128 + lane128                     # (U, 128)
-        tile_best = jnp.max(colmax, axis=1, keepdims=True)
-        tb_off = jnp.min(jnp.where(colmax == tile_best, tile_off, tile_n),
-                         axis=1, keepdims=True)               # (U, 1)
-
-        carry_best = jnp.max(carry_wv, axis=1, keepdims=True)
-        is_cb = carry_wv == carry_best
-        cb_pos = jnp.min(jnp.where(is_cb, carry_pos, 128), axis=1,
-                         keepdims=True)
-        cb_first = is_cb & (carry_pos == cb_pos)
-        cb_idx = jnp.sum(jnp.where(cb_first, carry_idx, 0), axis=1,
-                         keepdims=True)
-
-        use_carry = carry_best >= tile_best   # ties: carry = earlier tile
-        best = jnp.where(use_carry, carry_best, tile_best)
-        chosen = jnp.where(use_carry, cb_idx, cols_base + tb_off)
-        found = best > -jnp.inf
-
-        slot = carry_pos == i
-        new_vals = jnp.where(slot, best, new_vals)
-        new_idx = jnp.where(slot & found, chosen.astype(new_idx.dtype),
-                            new_idx)
-
-        carry_wv = jnp.where(use_carry & cb_first, neg_inf, carry_wv)
-        knock = (~use_carry) & (pos_a == tb_off // 128) \
-            & (pos_b == tb_off % 128)
-        tile_wv = jnp.where(knock, neg_inf, tile_wv)
-        return tile_wv, carry_wv, carry_idx, new_vals, new_idx
-
-    init = (scores, vals_scr[:], idx_scr[:],
-            jnp.full_like(vals_scr[:], -jnp.inf),
-            jnp.full_like(idx_scr[:], PAD_CONST))
-    _, _, _, new_vals, new_idx = jax.lax.fori_loop(0, k, extract, init)
-    return new_vals, new_idx
-
-
 def _score_topk_kernel(proj_ref, items_ref, seen_bits_ref, out_vals_ref,
                        out_idx_ref, vals_scr, idx_scr, *,
                        k: int, tile_n: int, n_items: int,
-                       filter_seen: bool, interpret: bool,
-                       select: str = "chain"):
+                       filter_seen: bool, interpret: bool):
     t = pl.program_id(1)            # item tile (minor, sequential)
     n_tiles = pl.num_programs(1)
 
@@ -147,18 +76,6 @@ def _score_topk_kernel(proj_ref, items_ref, seen_bits_ref, out_vals_ref,
             rep = pltpu.repeat(words, 32, axis=1)    # (U, TILE_N)
         bit = (rep >> (lane // n_words).astype(jnp.uint32)) & jnp.uint32(1)
         scores = jnp.where(bit != 0, -jnp.inf, scores)
-
-    if select == "fold":
-        new_vals, new_idx = _fold_select(scores, vals_scr, idx_scr,
-                                         t * tile_n, k, tile_n)
-        vals_scr[:] = new_vals
-        idx_scr[:] = new_idx
-
-        @pl.when(t == n_tiles - 1)
-        def _():
-            out_vals_ref[:] = vals_scr[:]
-            out_idx_ref[:] = idx_scr[:]
-        return
 
     # merge tile into the running top-k by k-step max selection (lane-dim
     # dynamic writes are not Mosaic-legal, so the new carry accumulates
@@ -204,15 +121,13 @@ def _score_topk_kernel(proj_ref, items_ref, seen_bits_ref, out_vals_ref,
 
 @functools.partial(jax.jit, static_argnames=("k", "filter_seen", "tile_n",
                                              "n_valid_cols", "block_users",
-                                             "interpret", "select",
-                                             "return_values"))
+                                             "interpret", "return_values"))
 def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
                      seen_bits: jax.Array, k: int,
                      filter_seen: bool = True, tile_n: int = 4096,
                      n_valid_cols: int | None = None,
                      block_users: int = 128,
                      interpret: bool = False,
-                     select: str = "chain",
                      return_values: bool = False) -> jax.Array:
     """Top-k item indices of ``proj @ item_factorsᵀ`` per user.
 
@@ -248,15 +163,9 @@ def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
         seen_bits = jnp.pad(seen_bits, ((0, pad_rows), (0, 0)))
     u_tiles = n_users_pad // u_blk
 
-    if select not in ("chain", "fold"):
-        raise ValueError(f"unknown select mode {select!r}")
-    if select == "fold" and tile_n % 128:
-        raise ValueError("fold select needs tile_n to be a multiple of "
-                         f"128 (got {tile_n}); lanes beyond the last full "
-                         "chunk would be silently dropped")
     kernel = functools.partial(
         _score_topk_kernel, k=k, tile_n=tile_n, n_items=n_valid,
-        filter_seen=filter_seen, interpret=interpret, select=select)
+        filter_seen=filter_seen, interpret=interpret)
 
     out_vals, out_idx = pl.pallas_call(
         kernel,

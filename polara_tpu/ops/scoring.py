@@ -226,7 +226,7 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
                       topk: int, filter_seen: bool = True,
                       n_valid_cols: Optional[int] = None,
                       interpret: bool = False, device: bool = False,
-                      mesh=None, select: Optional[str] = None):
+                      mesh=None):
     """Like :func:`run_scoring` but through the fused Pallas kernel.
 
     ``proj_fn(params, chunk) -> (chunk_users, r)`` produces the user-side
@@ -245,8 +245,6 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
     """
     from polara_tpu.ops.pallas import fused_score_topk
 
-    if select is None:
-        select = defaults.get_default("pallas_select")
     panel = params["item_panel"]
     n_items = panel.shape[0]
     n_valid = n_valid_cols if n_valid_cols is not None else n_items
@@ -265,10 +263,10 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
         invalid_row = jnp.asarray(_invalid_col_bits(n_valid, total_pad,
                                                     tile2))
         step = _fused_mesh_step_2d(mesh, topk, shard_items, tile2,
-                                   interpret, select)
+                                   interpret)
     elif mesh is not None:
-        step = _fused_mesh_step(mesh, topk, filter_seen, n_valid, interpret,
-                                select)
+        step = _fused_mesh_step(mesh, topk, filter_seen, n_valid,
+                                interpret)
     parts = []
     for c, chunk in enumerate(data.chunks):
         proj = proj_jit(params, chunk)
@@ -286,7 +284,7 @@ def run_scoring_fused(data: ChunkedTestData, proj_fn: ScoreFn, params: dict,
             recs = fused_score_topk(proj, panel, seen_bits, topk,
                                     filter_seen=filter_seen,
                                     n_valid_cols=n_valid,
-                                    interpret=interpret, select=select)
+                                    interpret=interpret)
         else:
             pad = (-proj.shape[0]) % n_dev
             if pad:
@@ -318,11 +316,10 @@ def _invalid_col_bits(n_valid: int, n_cols_pad: int,
 
 
 def _fused_mesh_step(mesh, topk: int, filter_seen: bool, n_valid: int,
-                     interpret: bool, select: str = "chain"):
+                     interpret: bool):
     """shard_map'd fused kernel over the mesh users axis, memoized like
     :func:`compiled_step` (one executable per configuration)."""
-    key = ("fused_mesh", mesh, topk, filter_seen, n_valid, interpret,
-           select)
+    key = ("fused_mesh", mesh, topk, filter_seen, n_valid, interpret)
     step = _step_cache.get(key)
     if step is None:
         from jax import shard_map
@@ -336,7 +333,7 @@ def _fused_mesh_step(mesh, topk: int, filter_seen: bool, n_valid: int,
             return fused_score_topk(proj, panel, seen_bits, topk,
                                     filter_seen=filter_seen,
                                     n_valid_cols=n_valid,
-                                    interpret=interpret, select=select)
+                                    interpret=interpret)
 
         step = jax.jit(shard_map(
             local_step, mesh=mesh,
@@ -347,7 +344,7 @@ def _fused_mesh_step(mesh, topk: int, filter_seen: bool, n_valid: int,
 
 
 def _fused_mesh_step_2d(mesh, topk: int, shard_items: int, tile_n: int,
-                        interpret: bool, select: str = "chain"):
+                        interpret: bool):
     """Fused kernel over a 2-D (users × model) mesh: the item panel and
     the seen-bit words shard over the model axis; per-shard fused top-k
     candidates merge by score through one all-gather (two-stage
@@ -359,8 +356,7 @@ def _fused_mesh_step_2d(mesh, topk: int, shard_items: int, tile_n: int,
     orders candidates by ascending shard (= ascending global index) and
     ``lax.top_k`` keeps the first occurrence of equal values.
     """
-    key = ("fused_mesh_2d", mesh, topk, shard_items, tile_n, interpret,
-           select)
+    key = ("fused_mesh_2d", mesh, topk, shard_items, tile_n, interpret)
     step = _step_cache.get(key)
     if step is None:
         from jax import shard_map
@@ -375,7 +371,7 @@ def _fused_mesh_step_2d(mesh, topk: int, shard_items: int, tile_n: int,
             vals, idx = fused_score_topk(
                 proj, panel, seen_bits, topk, filter_seen=True,
                 tile_n=tile_n, n_valid_cols=shard_items,
-                interpret=interpret, select=select, return_values=True)
+                interpret=interpret, return_values=True)
             col_base = jax.lax.axis_index(model_axis) * shard_items
             idx = jnp.where(idx == PAD_CONST, PAD_CONST, idx + col_base)
             vals = jax.lax.all_gather(vals, model_axis, axis=1, tiled=True)

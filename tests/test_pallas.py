@@ -160,36 +160,8 @@ def test_kernel_parity_shapes(seed, n_users, n_items, rank, k, nnz):
     np.testing.assert_array_equal(got, ref)
 
 
-@pytest.mark.parametrize("seed,n_users,n_items,rank,k,nnz", [
-    (10, 8, 100, 4, 10, 50),         # tiny catalog, single tile
-    (11, 33, 5000, 16, 20, 4000),    # odd user count, two tiles
-    (12, 130, 9000, 8, 1, 20_000),   # k=1, crosses block_users
-    (13, 16, 4096, 8, 128, 1000),    # k == CARRY_WIDTH, exact tile fit
-    (14, 24, 300, 5, 7, 24 * 250),   # dense seen sets (~83% seen)
-])
-def test_kernel_fold_select_parity(seed, n_users, n_items, rank, k, nnz):
-    """The fold-based select must match the XLA reference bit-for-bit on
-    the same shape grid the chain variant is pinned on."""
-    rs = np.random.RandomState(seed)
-    proj = jnp.asarray(rs.randn(n_users, rank), jnp.float32)
-    items = jnp.asarray(rs.randn(n_items, rank), jnp.float32)
-    pairs = np.unique(np.stack(
-        [rs.randint(0, n_users, nnz), rs.randint(0, n_items, nnz)], 1),
-        axis=0)
-    rows, cols = pairs[:, 0].astype(np.int32), pairs[:, 1].astype(np.int32)
-    bits = jnp.asarray(pack_seen_bits(rows, cols, n_users, n_items))
-    got = np.asarray(fused_score_topk(proj, items, bits, k,
-                                      select="fold", interpret=INTERP))
-    ref = np.asarray(mask_and_topk(
-        proj @ items.T, jnp.asarray(rows), jnp.asarray(cols),
-        jnp.ones(len(rows), bool), k, filter_seen=True,
-        n_valid_cols=n_items))
-    np.testing.assert_array_equal(got, ref)
-
-
-@pytest.mark.parametrize("select", ["chain", "fold"])
-def test_kernel_select_tie_rule(select):
-    """Massive score ties (rank-1 integer factors): both selects must
+def test_kernel_select_tie_rule():
+    """Massive score ties (rank-1 integer factors): the select must
     resolve every tie to the lowest item index, like the XLA path."""
     rs = np.random.RandomState(7)
     n_users, n_items, k = 12, 1000, 16
@@ -200,25 +172,11 @@ def test_kernel_select_tie_rule(select):
     bits = jnp.asarray(pack_seen_bits(rows, cols, n_users, n_items,
                                       tile_n=256))
     got = np.asarray(fused_score_topk(proj, items, bits, k, tile_n=256,
-                                      select=select, interpret=INTERP))
+                                      interpret=INTERP))
     ref = np.asarray(mask_and_topk(
         proj @ items.T, jnp.asarray(rows), jnp.asarray(cols),
         jnp.ones(len(rows), bool), k, filter_seen=True,
         n_valid_cols=n_items))
-    np.testing.assert_array_equal(got, ref)
-
-
-def test_kernel_fold_multi_tile_small_tiles():
-    """Fold select across many tiles (tile_n=128 -> 6 tiles): the carry
-    must win ties against later tiles (lower item indices)."""
-    proj, items, rows, cols = _random_case(21, n_users=9, n_items=700)
-    bits = jnp.asarray(pack_seen_bits(rows, cols, 9, 700, tile_n=128))
-    got = np.asarray(fused_score_topk(proj, items, bits, 10, tile_n=128,
-                                      select="fold", interpret=INTERP))
-    ref = np.asarray(mask_and_topk(
-        proj @ items.T, jnp.asarray(rows), jnp.asarray(cols),
-        jnp.ones(len(rows), bool), 10, filter_seen=True,
-        n_valid_cols=700))
     np.testing.assert_array_equal(got, ref)
 
 
@@ -238,9 +196,3 @@ def test_pack_seen_bits_device_parity(tile_n):
     np.testing.assert_array_equal(dev, host.astype(dev.dtype))
 
 
-def test_kernel_fold_tile_guard():
-    proj, items, _, _ = _random_case(30)
-    bits = jnp.zeros((proj.shape[0], 32), jnp.uint32)
-    with pytest.raises(ValueError, match="multiple of"):
-        fused_score_topk(proj, items, bits, 5, tile_n=192,
-                         select="fold", interpret=INTERP)
