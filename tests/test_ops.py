@@ -274,6 +274,40 @@ class TestRandomizedSvd:
         s = np.asarray(res.s)
         assert (np.diff(s) <= 1e-12).all()
 
+    def test_fused_fixed_build_matches_composed_stages(self):
+        """The fixed-count path runs as ONE compiled program
+        (``_build_fixed``); pin it bit-for-bit against the same math
+        composed from the separately jitted stages it replaced."""
+        from polara_tpu.ops.rsvd import (_finalize, _panel_qr_jit,
+                                         _power_fixed)
+        from polara_tpu.ops.sparse import dense_operator
+        import jax
+
+        rs = np.random.RandomState(7)
+        dense = jnp.asarray(rs.rand(90, 60), jnp.float64)
+        op = dense_operator(dense)
+        k, block, n_iter, refine = 8, 18, 5, 2
+
+        res = randomized_svd(op, k, oversample=block - k, n_iter=n_iter,
+                             seed=3, qr_method="cholesky2",
+                             power_operator=op, refine_iters=refine,
+                             dtype=jnp.float64)
+
+        key = jax.random.key(3)
+        omega = jax.random.normal(key, (60, block), dtype=jnp.float64)
+        q, _ = _panel_qr_jit(op.mm(omega), "cholesky2")
+        q = _power_fixed(op, q, n_iter, "cholesky2")
+        q = _power_fixed(op, q, refine, "cholesky2")
+        u, s, vt = _finalize(op, q)
+
+        np.testing.assert_allclose(np.asarray(res.s), np.asarray(s[:k]),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(res.u), np.asarray(u[:, :k]),
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(res.v),
+                                   np.asarray(vt[:k, :].T),
+                                   rtol=0, atol=1e-10)
+
     def test_reconstruction_low_rank(self):
         rs = np.random.RandomState(5)
         a = rs.randn(60, 8) @ rs.randn(8, 40)  # exactly rank 8
