@@ -56,11 +56,6 @@ def main():
     data.test_ratio = 0.2
     data.random_holdout = True
     data.prepare()
-    n_levels = len(data.index.feedback)
-    log(f"tensor geometry: {len(data.index.userid.training)} x "
-        f"{len(data.index.itemid)} x {n_levels}, "
-        f"{len(data.training)} train events")
-
     model = CoffeeModel(data)
     model.mlrank = MLRANK
     model.verbose = False
@@ -68,6 +63,12 @@ def main():
     t0 = time.perf_counter()
     model.build()
     log(f"warm-up build (incl. compile): {time.perf_counter() - t0:.1f}s")
+    # the feedback level index only exists after a tensor-mode to_coo
+    # (i.e. after the first build)
+    n_levels = len(data.index.feedback)
+    log(f"tensor geometry: {len(data.index.userid.training)} x "
+        f"{len(data.index.itemid)} x {n_levels}, "
+        f"{len(data.training)} train events")
 
     timings = []
     for i in range(3):
