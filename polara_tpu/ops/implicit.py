@@ -279,8 +279,6 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
     pc = -(-counts // tile) * tile                 # tile-padded counts
     base = jnp.cumsum(pc) - pc                     # dest base per entity
     ev_start = jnp.cumsum(counts) - counts
-    pos = jnp.arange(nnz, dtype=jnp.int32) - ev_start[maj]
-    dst = base[maj] + pos
 
     tiles_np = np.asarray(pc // tile, dtype=np.int64)       # host fetch
     cum = np.concatenate(([0], np.cumsum(tiles_np)))
@@ -290,15 +288,23 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
     e_pad = max(nat_tiles * tile,
                 -(-int(pad_events_to) // tile) * tile)
     n_tiles = e_pad // tile
-    minor_p = jnp.zeros((e_pad,), jnp.int32).at[dst].set(
-        minor.astype(jnp.int32), unique_indices=True)
-    w_p = jnp.zeros((e_pad,), cm1.dtype).at[dst].set(
-        cm1, unique_indices=True)
 
     # trailing pad tiles belong to the last entity (zero-weight events)
     owner = jnp.repeat(jnp.arange(n_major, dtype=jnp.int32),
                        jnp.asarray(tiles_np, jnp.int32),
                        total_repeat_length=n_tiles)
+
+    # gather-built padded panels (the event->slot map is monotonic so
+    # its inverse is a per-slot lookup; a ~100M-event scatter lowers
+    # ~10x worse than these gathers on TPU — same rewrite as
+    # ops/sparse.py:_stage_tiled_side, identical panels)
+    ent = jnp.broadcast_to(owner[:, None], (n_tiles, tile)).reshape(-1)
+    p = jnp.arange(e_pad, dtype=jnp.int32) - base[ent]
+    valid = p < counts[ent]
+    src = jnp.where(valid, ev_start[ent] + jnp.minimum(p, counts[ent] - 1),
+                    0)
+    minor_p = jnp.where(valid, minor.astype(jnp.int32)[src], 0)
+    w_p = jnp.where(valid, cm1[src], jnp.zeros((), cm1.dtype))
 
     # greedy equalized batch plan (host, O(n_batches) searchsorted steps)
     budget_tiles = max(1, -(-int(max_window_events) // tile))

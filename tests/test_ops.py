@@ -101,6 +101,40 @@ class TestChunkedCooOperator:
         np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
                                    expect, rtol=1e-10)
 
+    def test_upload_compression_fallbacks(self):
+        """Non-integer values and large sorted-row gaps must fall back
+        to the raw wire format, bit-exactly."""
+        from polara_tpu.ops.sparse import _upload_event_stream
+        rs = np.random.RandomState(2)
+        # gaps > 255 defeat the uint8 delta encoding; fractional values
+        # defeat the int8 code path; m > 2**15 defeats int16 rows
+        rows = np.sort(rs.randint(0, 10 ** 6, 400)).astype(np.int32)
+        cols = rs.randint(0, 70_000, 400).astype(np.int32)
+        vals = rs.rand(400).astype(np.float64) + 0.25
+        r, c, v, srt = _upload_event_stream(rows, cols, vals,
+                                            (10 ** 6, 70_000),
+                                            jnp.float64, False)
+        assert srt
+        np.testing.assert_array_equal(np.asarray(r), rows)
+        np.testing.assert_array_equal(np.asarray(c), cols)
+        np.testing.assert_array_equal(np.asarray(v), vals)
+
+    def test_upload_compression_applies(self):
+        """Sorted small-delta rows, small catalog, integer ratings: all
+        three codecs engage and decode exactly."""
+        from polara_tpu.ops.sparse import _upload_event_stream
+        rs = np.random.RandomState(3)
+        rows = np.repeat(np.arange(50, dtype=np.int32),
+                         rs.randint(1, 9, 50))
+        cols = rs.randint(0, 300, rows.size).astype(np.int64)
+        vals = rs.randint(1, 6, rows.size).astype(np.float32)
+        r, c, v, srt = _upload_event_stream(rows, cols, vals, (50, 300),
+                                            jnp.float32, False)
+        assert srt
+        np.testing.assert_array_equal(np.asarray(r), rows)
+        np.testing.assert_array_equal(np.asarray(c), cols)
+        np.testing.assert_array_equal(np.asarray(v), vals)
+
     def test_device_staged_chunked_operator(self):
         """CooMatrix.chunked_operator (device prep) == host-staged
         chunked_coo_operator == dense."""
