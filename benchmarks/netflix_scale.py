@@ -204,7 +204,10 @@ def main():
     def build_and_score(op):
         result = randomized_svd_krylov(op, RANK, depth=KRYLOV_DEPTH,
                                        seed=0, dtype=jnp.float32)
-        proj = op.mm(result.v)                        # (users, rank)
+        # A @ V == U diag(s) exactly (the finalize is a Rayleigh-Ritz
+        # over qr(A z): A v = qb rb wt^T = u * s) — reusing it saves a
+        # full width-RANK pass over the event stream (~0.4 s)
+        proj = result.u * result.s[None, :]           # (users, rank)
         if use_fused:
             recs_dev = fused_score_topk(proj, result.v, seen_bits, TOPK,
                                         filter_seen=True,
