@@ -27,6 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from polara_tpu.ops.sparse import gather_padded_panels
+
 WeightFn = Union[str, Callable, None]
 
 
@@ -243,6 +245,44 @@ class EllSide(NamedTuple):
     tile: int
 
 
+class EventPanels(NamedTuple):
+    """Device-staged tile panels of one event side at natural (unpadded)
+    size — the expensive half of :func:`stage_events_side`, computed
+    once and shared across geometry-forcing restages (the forcings only
+    append zero tiles / batches, never re-gather)."""
+    minor: jax.Array        # (nat_tiles*tile,) int32
+    w: jax.Array            # (nat_tiles*tile,) weights
+    owner: jax.Array        # (nat_tiles,) int32 tile -> entity
+    tiles_np: np.ndarray    # host per-entity tile counts
+    n_major: int
+    tile: int
+
+
+def stage_events_panels(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
+                        n_major: int, tile: int = 128) -> EventPanels:
+    """Device staging of one side's tile-aligned panels (``maj`` must be
+    sorted ascending): per-entity tile counts, tile-owner table, and
+    gather-built (minor, weight) panels."""
+    nnz = maj.shape[0]
+    maj = maj.astype(jnp.int32)
+    ones = jnp.ones((nnz,), jnp.int32)
+    counts = jax.ops.segment_sum(ones, maj, num_segments=n_major,
+                                 indices_are_sorted=True)
+    pc = -(-counts // tile) * tile                 # tile-padded counts
+    base = jnp.cumsum(pc) - pc                     # dest base per entity
+    ev_start = jnp.cumsum(counts) - counts
+
+    tiles_np = np.asarray(pc // tile, dtype=np.int64)       # host fetch
+    nat_tiles = int(tiles_np.sum())
+    owner = jnp.repeat(jnp.arange(n_major, dtype=jnp.int32),
+                       jnp.asarray(tiles_np, jnp.int32),
+                       total_repeat_length=nat_tiles)
+    minor_p, w_p = gather_padded_panels(owner, base, counts, ev_start,
+                                        minor, cm1, nat_tiles, tile)
+    return EventPanels(minor=minor_p, w=w_p, owner=owner,
+                       tiles_np=tiles_np, n_major=n_major, tile=tile)
+
+
 def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
                       n_major: int, tile: int = 128,
                       batch_entities: int = 4096,
@@ -250,8 +290,9 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
                       pad_events_to: int = 0,
                       window_tiles: int = 1,
                       pad_batches_to: int = 0,
-                      min_batch_entities: int = 0) -> EllSide:
-    """Stage one :class:`EllSide` (scatter on device, plan on host).
+                      min_batch_entities: int = 0,
+                      panels: Optional[EventPanels] = None) -> EllSide:
+    """Stage one :class:`EllSide` (gather on device, plan on host).
 
     ``maj`` must be sorted ascending (sort on device first for the
     column side).  One host fetch of the per-entity tile counts drives
@@ -270,17 +311,15 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
     padding batches own zero entities (masked write → no-op), a widened
     window only pulls tiles the owner mask dumps, and a widened segment
     count only solves extra rows the ``n_ents`` write mask drops.
-    """
-    nnz = maj.shape[0]
-    maj = maj.astype(jnp.int32)
-    ones = jnp.ones((nnz,), jnp.int32)
-    counts = jax.ops.segment_sum(ones, maj, num_segments=n_major,
-                                 indices_are_sorted=True)
-    pc = -(-counts // tile) * tile                 # tile-padded counts
-    base = jnp.cumsum(pc) - pc                     # dest base per entity
-    ev_start = jnp.cumsum(counts) - counts
 
-    tiles_np = np.asarray(pc // tile, dtype=np.int64)       # host fetch
+    ``panels`` short-circuits the expensive device staging: restages
+    that only force geometry (the mesh fixpoint runs up to three per
+    band) pass the first stage's panels and pay only the host plan
+    plus zero-tile padding.
+    """
+    if panels is None:
+        panels = stage_events_panels(maj, minor, cm1, n_major, tile)
+    tiles_np = panels.tiles_np
     cum = np.concatenate(([0], np.cumsum(tiles_np)))
     nat_tiles = int(cum[-1])
     if nat_tiles == 0 and not pad_events_to:
@@ -289,22 +328,18 @@ def stage_events_side(maj: jax.Array, minor: jax.Array, cm1: jax.Array,
                 -(-int(pad_events_to) // tile) * tile)
     n_tiles = e_pad // tile
 
-    # trailing pad tiles belong to the last entity (zero-weight events)
-    owner = jnp.repeat(jnp.arange(n_major, dtype=jnp.int32),
-                       jnp.asarray(tiles_np, jnp.int32),
-                       total_repeat_length=n_tiles)
-
-    # gather-built padded panels (the event->slot map is monotonic so
-    # its inverse is a per-slot lookup; a ~100M-event scatter lowers
-    # ~10x worse than these gathers on TPU — same rewrite as
-    # ops/sparse.py:_stage_tiled_side, identical panels)
-    ent = jnp.broadcast_to(owner[:, None], (n_tiles, tile)).reshape(-1)
-    p = jnp.arange(e_pad, dtype=jnp.int32) - base[ent]
-    valid = p < counts[ent]
-    src = jnp.where(valid, ev_start[ent] + jnp.minimum(p, counts[ent] - 1),
-                    0)
-    minor_p = jnp.where(valid, minor.astype(jnp.int32)[src], 0)
-    w_p = jnp.where(valid, cm1[src], jnp.zeros((), cm1.dtype))
+    minor_p, w_p, owner = panels.minor, panels.w, panels.owner
+    if n_tiles > nat_tiles:
+        # trailing pad tiles carry zero-weight events and belong to the
+        # clamped last entity id (keeps owner ids sorted) — pure append,
+        # no re-gather
+        pad_t = n_tiles - nat_tiles
+        owner = jnp.concatenate([
+            owner, jnp.full((pad_t,), n_major - 1, jnp.int32)])
+        minor_p = jnp.concatenate([
+            minor_p, jnp.zeros((pad_t * tile,), minor_p.dtype)])
+        w_p = jnp.concatenate([
+            w_p, jnp.zeros((pad_t * tile,), w_p.dtype)])
 
     # greedy equalized batch plan (host, O(n_batches) searchsorted steps)
     budget_tiles = max(1, -(-int(max_window_events) // tile))

@@ -307,7 +307,10 @@ def _invalid_col_bits(n_valid: int, n_cols_pad: int,
     validity needs no per-device static argument under shard_map (the
     SPMD trace is shared across shards)."""
     w = tile_n // 32
-    words = np.zeros(max(1, n_cols_pad // tile_n) * w, np.uint32)
+    # ceil like pack_seen_bits — a floor would under-allocate (and the
+    # bitwise_or.at below would index out of bounds) for any padded
+    # width that is not an exact tile multiple
+    words = np.zeros(max(1, -(-n_cols_pad // tile_n)) * w, np.uint32)
     cols = np.arange(n_valid, n_cols_pad)
     off = cols % tile_n
     np.bitwise_or.at(words, (cols // tile_n) * w + off % w,

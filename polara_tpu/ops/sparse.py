@@ -352,7 +352,10 @@ def _upload_event_stream(rows, cols, vals, shape, dtype,
     rows_sorted = bool(assume_sorted)
     if isinstance(rows, np.ndarray):
         r = np.ascontiguousarray(rows)
-        d = np.diff(r) if r.size > 1 else np.zeros(0, r.dtype)
+        # diff in int64: unsigned dtypes wrap under subtraction, which
+        # would "prove" any stream sorted (and mis-encode the deltas)
+        d = (np.diff(r.astype(np.int64, copy=False)) if r.size > 1
+             else np.zeros(0, np.int64))
         if not rows_sorted:
             rows_sorted = bool(d.size == 0 or int(d.min()) >= 0)
         if rows_sorted and d.size and int(d.min()) >= 0 \
@@ -476,6 +479,35 @@ def _tiled_rmm(operands, x, out_dim):
 # Deleted rather than retained unmeasured.
 
 
+def gather_padded_panels(owner: jax.Array, base: jax.Array,
+                         counts: jax.Array, ev_start: jax.Array,
+                         minor: jax.Array, vals: jax.Array,
+                         n_tiles: int, tile: int
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Tile-padded (minor, value) panels built with GATHERS, not
+    scatters.
+
+    The event→slot map (``base[entity]`` + within-entity position) is
+    strictly monotonic, so its inverse is a pure per-slot lookup —
+    every slot in tile ``t`` belongs to ``owner[t]``, its within-entity
+    position is the slot offset past ``base[owner[t]]``, and real
+    positions read the original stream while pad positions read slot 0
+    with value 0.  A ~100M-event scatter lowers ~10× worse than these
+    gathers on TPU (25 s → ~3 s per side at Netflix scale, identical
+    panels).  Shared by the tiled COO operator and the streaming-iALS
+    staging (`ops/implicit.py:stage_events_side`).
+    """
+    e_pad = n_tiles * tile
+    ent = jnp.broadcast_to(owner[:, None], (n_tiles, tile)).reshape(-1)
+    p = jnp.arange(e_pad, dtype=jnp.int32) - base[ent]
+    valid = p < counts[ent]
+    src = jnp.where(valid, ev_start[ent] + jnp.minimum(p, counts[ent] - 1),
+                    0)
+    minor_p = jnp.where(valid, minor.astype(jnp.int32)[src], 0)
+    vals_p = jnp.where(valid, vals[src], jnp.zeros((), vals.dtype))
+    return minor_p, vals_p
+
+
 def _stage_tiled_side(maj: jax.Array, minor: jax.Array, vals: jax.Array,
                       n_major: int, event_chunk: int, tile: int):
     """Device-side staging of one tile-aligned event side.
@@ -509,21 +541,8 @@ def _stage_tiled_side(maj: jax.Array, minor: jax.Array, vals: jax.Array,
     owner = jnp.repeat(jnp.arange(n_major, dtype=jnp.int32), tiles_per,
                        total_repeat_length=n_tiles)
 
-    # Padded panels are built with GATHERS, not scatters: the
-    # event->slot map (base[maj] + within-entity position) is strictly
-    # monotonic, so its inverse is a pure per-slot lookup — every slot
-    # in tile t belongs to owner[t], its within-entity position is the
-    # slot offset past base[owner[t]], and real positions read the
-    # original stream while pad positions read slot 0 with value 0.
-    # A 98M-event scatter lowers ~10x worse than these gathers on TPU
-    # (25 s -> ~3 s per side at Netflix scale, identical panels).
-    ent = jnp.broadcast_to(owner[:, None], (n_tiles, tile)).reshape(-1)
-    p = jnp.arange(e_pad, dtype=jnp.int32) - base[ent]
-    valid = p < counts[ent]
-    src = jnp.where(valid, ev_start[ent] + jnp.minimum(p, counts[ent] - 1),
-                    0)
-    minor_p = jnp.where(valid, minor.astype(jnp.int32)[src], 0)
-    vals_p = jnp.where(valid, vals[src], jnp.zeros((), vals.dtype))
+    minor_p, vals_p = gather_padded_panels(owner, base, counts, ev_start,
+                                           minor, vals, n_tiles, tile)
 
     tpc = event_chunk // tile
     owner_c = owner.reshape(n_chunks, tpc)

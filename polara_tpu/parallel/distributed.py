@@ -274,6 +274,7 @@ def distributed_ials_events(rows: np.ndarray, cols: np.ndarray,
 
     from polara_tpu.ops.implicit import (ImplicitFactors, _ell_half_sweep,
                                          canonical_weight, confidence,
+                                         stage_events_panels,
                                          stage_events_side)
 
     axis = mesh.axis_names[0]
@@ -311,10 +312,16 @@ def distributed_ials_events(rows: np.ndarray, cols: np.ndarray,
                 nb = jnp.zeros((1,), jnp.int32)
                 wb = jnp.zeros((1,), dtype)
             per_band.append((mb, nb, wb))
+        # the expensive device staging (panel gathers) runs ONCE per
+        # band; the geometry-forcing fixpoint below restages from these
+        # panels at host-plan cost only
+        panels = [stage_events_panels(mb, nb, wb, n_local, tile=tile)
+                  for mb, nb, wb in per_band]
         first = [stage_events_side(mb, nb, wb, n_local, tile=tile,
                                    batch_entities=be,
-                                   max_window_events=max_window_events)
-                 for mb, nb, wb in per_band]
+                                   max_window_events=max_window_events,
+                                   panels=pan)
+                 for (mb, nb, wb), pan in zip(per_band, panels)]
         # uniform geometry across bands: all four forcings only inflate
         # (pad-tail tiles are zero-weight, padding batches own zero
         # entities, widened windows are owner-masked, widened segment
@@ -327,8 +334,10 @@ def distributed_ials_events(rows: np.ndarray, cols: np.ndarray,
                  else stage_events_side(mb, nb, wb, n_local, tile=tile,
                                         batch_entities=be,
                                         max_window_events=max_window_events,
-                                        min_batch_entities=be_seg)
-                 for s, (mb, nb, wb) in zip(first, per_band)]
+                                        min_batch_entities=be_seg,
+                                        panels=pan)
+                 for s, (mb, nb, wb), pan
+                 in zip(first, per_band, panels)]
         e_pad = max(s.minor.shape[0] for s in first)
         tb = max(s.owner_local.shape[1] for s in first)
         nb_u = max(s.starts.shape[0] for s in first)
@@ -341,8 +350,10 @@ def distributed_ials_events(rows: np.ndarray, cols: np.ndarray,
                                         pad_events_to=e_pad,
                                         window_tiles=tb,
                                         pad_batches_to=nb_u,
-                                        min_batch_entities=be_seg)
-                 for s, (mb, nb, wb) in zip(first, per_band)]
+                                        min_batch_entities=be_seg,
+                                        panels=pan)
+                 for s, (mb, nb, wb), pan
+                 in zip(first, per_band, panels)]
         dev_sharding = NamedSharding(mesh, P(axis))
         stack = lambda field: jax.device_put(
             jnp.stack([getattr(s, field) for s in sides]), dev_sharding)

@@ -105,6 +105,33 @@ class TestIalsTrainEvents:
         np.testing.assert_allclose(np.asarray(got.item),
                                    np.asarray(ref.item), atol=1e-9)
 
+    def test_panels_reuse_matches_fresh_stage(self):
+        """A forced-geometry restage from precomputed EventPanels must
+        equal a fresh full stage field-for-field (the mesh fixpoint
+        leans on this to skip the expensive device staging)."""
+        from polara_tpu.ops.implicit import (confidence, canonical_weight,
+                                             stage_events_panels,
+                                             stage_events_side)
+        coo, _ = self._coo_and_dense(m=41, n=19, seed=7)
+        order = np.argsort(coo.row, kind="stable")
+        maj = jnp.asarray(coo.row[order], jnp.int32)
+        minor = jnp.asarray(coo.col[order], jnp.int32)
+        w = confidence(jnp.asarray(coo.data[order], jnp.float64), 40.0,
+                       canonical_weight(None), 0.0)
+        kw = dict(tile=4, batch_entities=5, max_window_events=24,
+                  pad_events_to=400, window_tiles=9, pad_batches_to=13,
+                  min_batch_entities=7)
+        fresh = stage_events_side(maj, minor, w, 41, **kw)
+        pan = stage_events_panels(maj, minor, w, 41, tile=4)
+        reused = stage_events_side(maj, minor, w, 41, panels=pan, **kw)
+        for field in fresh._fields:
+            a, b = getattr(fresh, field), getattr(reused, field)
+            if isinstance(a, (int, float)):
+                assert a == b, field
+            else:
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b), err_msg=field)
+
     def test_empty_rows_and_unsorted_events(self):
         """Entities with zero events solve to zero vectors; unsorted
         event order must not change the result."""

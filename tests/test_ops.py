@@ -101,6 +101,20 @@ class TestChunkedCooOperator:
         np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
                                    expect, rtol=1e-10)
 
+    def test_unsigned_unsorted_rows_still_sorted(self):
+        """np.diff wraps under unsigned dtypes, which would 'prove' any
+        stream sorted and skip the device sort (and mis-encode the
+        uint8 deltas); the int64-diff guard must hold for uint rows."""
+        csr, coo = self._coo()
+        perm = np.random.RandomState(8).permutation(coo.nnz)
+        op = chunked_coo_operator(coo.row[perm].astype(np.uint32),
+                                  coo.col[perm].astype(np.uint32),
+                                  coo.data[perm], coo.shape,
+                                  event_chunk=64, dtype=jnp.float64)
+        x = np.random.RandomState(1).randn(csr.shape[1], 5)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   csr @ x, rtol=1e-10)
+
     def test_upload_compression_fallbacks(self):
         """Non-integer values and large sorted-row gaps must fall back
         to the raw wire format, bit-exactly."""
