@@ -55,6 +55,13 @@ _DEFAULTS: Dict[str, Any] = dict(
     # factor models when topk <= 128; True forces (interpret on CPU);
     # False always uses the XLA path
     pallas_scoring="auto",
+    # beyond-HBM streaming tier: route the Zipf head of the event stream
+    # through a dense (users x P) block on the MXU instead of the gather
+    # engine (ops/sparse.py:split_coo_operator).  The head block is
+    # budgeted separately from the score block; the split declines
+    # automatically when item margins are too flat to pay.
+    streaming_split_head=True,
+    streaming_head_gb=4.0,
 )
 
 

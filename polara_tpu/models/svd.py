@@ -174,10 +174,17 @@ class SVDModel(RecommenderModel):
                     return
                 if coo_bytes > budget:
                     # tile-aligned streaming layout: 2.6x faster per
-                    # pass than the event-scatter chunked operator
-                    # (measured on chip at Netflix scale, see
-                    # docs/PERFORMANCE.md)
-                    svd_matrix = matrix.tiled_operator()
+                    # pass than the event-scatter chunked operator —
+                    # with the Zipf head of the stream lifted into a
+                    # dense MXU block when item margins are skewed
+                    # enough to pay (measured on chip at Netflix scale,
+                    # see docs/PERFORMANCE.md)
+                    if defaults.get_default("streaming_split_head"):
+                        svd_matrix = matrix.split_operator(
+                            head_budget_gb=defaults.get_default(
+                                "streaming_head_gb"))
+                    else:
+                        svd_matrix = matrix.tiled_operator()
                 else:
                     svd_matrix = matrix.operator()
 

@@ -260,3 +260,49 @@ def test_multi_chunk_scoring_matches_single_chunk():
             defaults.set_default("pallas_scoring", saved)
     finally:
         ChunkedTestData.build = classmethod(original_build)
+
+
+def test_svd_past_budget_routes_to_split_streaming():
+    """With a budget too small even for the COO intermediate, a
+    single-device SVD build must route to the beyond-HBM streaming tier
+    (head/tail split operator by default) and reproduce the dense-path
+    factors and recommendations."""
+    import jax.numpy as jnp
+
+    from polara_tpu import config as defaults
+    from polara_tpu.data import RecommenderData
+    from polara_tpu.datasets import make_synthetic_interactions
+    from polara_tpu.models import SVDModel
+    from polara_tpu.ops.rsvd import principal_angles_max_sin
+
+    events = make_synthetic_interactions(80, 50, 1500, seed=12)
+
+    def build_model(data):
+        model = SVDModel(data)
+        model.rank = 6
+        model.verbose = False
+        model.compute_dtype = jnp.float64
+        model.build()
+        return model
+
+    data = RecommenderData(events, "userid", "movieid", "rating",
+                           seed=0, verbose=False)
+    data.warm_start = False
+    data.test_ratio = 0
+    data.holdout_size = 1
+    data.prepare()
+    dense_model = build_model(data)
+    recs_dense = dense_model.recommendations.copy()
+
+    old = defaults.get_default("hbm_score_budget_gb")
+    defaults.set_default("hbm_score_budget_gb", 1e-7)
+    try:
+        split_model = build_model(data)
+    finally:
+        defaults.set_default("hbm_score_budget_gb", old)
+    itemid = data.fields.itemid
+    assert principal_angles_max_sin(dense_model.factors[itemid],
+                                    split_model.factors[itemid]) < 1e-6
+    agree = np.mean(np.sort(split_model.recommendations, axis=1)
+                    == np.sort(recs_dense, axis=1))
+    assert agree > 0.999

@@ -7,7 +7,8 @@ import jax.numpy as jnp
 
 from polara_tpu.ops.sparse import (CooMatrix, chunked_coo_operator,
                                    dense_operator, inner_product_at,
-                                   pad_rows, tiled_coo_operator)
+                                   pad_rows, split_coo_operator,
+                                   tiled_coo_operator)
 from polara_tpu.ops.rsvd import randomized_svd, principal_angles_max_sin
 from polara_tpu.ops.topk import mask_and_topk, top_k_indices, downvote_items
 
@@ -284,6 +285,127 @@ class TestTiledCooOperator:
         np.testing.assert_allclose(np.asarray(res_tiled.s),
                                    np.asarray(res_dense.s), rtol=1e-9)
         assert principal_angles_max_sin(res_tiled.v, res_dense.v) < 1e-7
+
+
+class TestSplitCooOperator:
+    """Head/tail split streaming operator == dense at small scale.  The
+    head block is a lossless storage format (int8 for integer ratings),
+    so parity bars are the same 1e-10 as the plain tiled operator."""
+
+    def _skewed_coo(self, m=160, n=60, seed=11, n_events=900):
+        """Zipf-ish item margins so a small head captures real mass."""
+        rs = np.random.RandomState(seed)
+        w = 1.0 / np.arange(1, n + 1) ** 0.9
+        cols = rs.choice(n, size=n_events, p=w / w.sum())
+        rows = rs.randint(0, m, n_events)
+        vals = rs.randint(1, 6, n_events).astype(float)
+        dense = np.zeros((m, n))
+        np.add.at(dense, (rows, cols), vals)   # duplicate pairs add
+        return rows.astype(np.int32), cols.astype(np.int32), vals, dense
+
+    @pytest.mark.parametrize("head_items", [8, 31, 60])
+    def test_matmul_parity_int8_head(self, head_items):
+        rows, cols, vals, dense = self._skewed_coo()
+        op = split_coo_operator(rows, cols, vals, dense.shape,
+                                head_items=head_items, event_chunk=64,
+                                tile=8, dtype=jnp.float64)
+        rs = np.random.RandomState(1)
+        x = rs.randn(dense.shape[1], 7)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   dense @ x, rtol=1e-10, atol=1e-12)
+        y = rs.randn(dense.shape[0], 5)
+        np.testing.assert_allclose(np.asarray(op.rmm(jnp.asarray(y))),
+                                   dense.T @ y, rtol=1e-10, atol=1e-12)
+
+    def test_int8_storage_engaged_for_integer_ratings(self):
+        rows, cols, vals, dense = self._skewed_coo()
+        op = split_coo_operator(rows, cols, vals, dense.shape,
+                                head_items=16, dtype=jnp.float64)
+        head = op.operands[0][0]
+        assert head.dtype == jnp.int8
+        assert head.ndim == 3
+
+    def test_float_values_keep_float_head(self):
+        rows, cols, vals, dense = self._skewed_coo(seed=3)
+        rs = np.random.RandomState(9)
+        vals = vals + rs.rand(len(vals))     # non-integer values
+        dense = np.zeros(dense.shape)
+        np.add.at(dense, (rows, cols), vals)
+        op = split_coo_operator(rows, cols, vals, dense.shape,
+                                head_items=16, event_chunk=128, tile=8,
+                                dtype=jnp.float64)
+        assert op.operands[0][0].dtype == jnp.float64
+        x = rs.randn(dense.shape[1], 4)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   dense @ x, rtol=1e-10, atol=1e-12)
+        y = rs.randn(dense.shape[0], 3)
+        np.testing.assert_allclose(np.asarray(op.rmm(jnp.asarray(y))),
+                                   dense.T @ y, rtol=1e-10, atol=1e-12)
+
+    def test_full_head_has_no_tail(self):
+        """head covering every item == pure dense block, no tail sides."""
+        rows, cols, vals, dense = self._skewed_coo(n=24)
+        op = split_coo_operator(rows, cols, vals, dense.shape,
+                                head_items=24, dtype=jnp.float64)
+        assert op.operands[1] is None and op.operands[2] is None
+        rs = np.random.RandomState(2)
+        x = rs.randn(24, 6)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   dense @ x, rtol=1e-10, atol=1e-12)
+        y = rs.randn(dense.shape[0], 3)
+        np.testing.assert_allclose(np.asarray(op.rmm(jnp.asarray(y))),
+                                   dense.T @ y, rtol=1e-10, atol=1e-12)
+
+    def test_flat_margins_fall_back_to_tiled(self):
+        """Near-uniform item margins can't pay for a head block — the
+        staging declines and returns the plain tiled operator."""
+        rs = np.random.RandomState(5)
+        m, n, nnz = 80, 200, 600
+        rows = np.sort(rs.randint(0, m, nnz)).astype(np.int32)
+        cols = rs.randint(0, n, nnz).astype(np.int32)
+        vals = rs.randint(1, 6, nnz).astype(float)
+        op = split_coo_operator(rows, cols, vals, (m, n), head_items=4,
+                                min_coverage=0.5, dtype=jnp.float64)
+        from polara_tpu.ops.sparse import _tiled_mm
+        assert op.mm_fn is _tiled_mm
+
+    def test_blocked_head_rows(self):
+        """Row count not divisible by the head block size: pad rows are
+        zero and sliced back off."""
+        rows, cols, vals, dense = self._skewed_coo(m=150)
+        op = split_coo_operator(rows, cols, vals, dense.shape,
+                                head_items=16, head_block_rows=64,
+                                event_chunk=128, tile=8,
+                                dtype=jnp.float64)
+        assert op.operands[0][0].shape[:2] == (3, 64)
+        rs = np.random.RandomState(4)
+        x = rs.randn(dense.shape[1], 5)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   dense @ x, rtol=1e-10, atol=1e-12)
+        y = rs.randn(dense.shape[0], 4)
+        np.testing.assert_allclose(np.asarray(op.rmm(jnp.asarray(y))),
+                                   dense.T @ y, rtol=1e-10, atol=1e-12)
+
+    def test_empty_guard(self):
+        with pytest.raises(ValueError):
+            split_coo_operator(np.array([], np.int32),
+                               np.array([], np.int32),
+                               np.array([], np.float64), (3, 4))
+
+    def test_rsvd_through_split_operator(self):
+        csr = random_rating_matrix(m=180, n=120, density=0.25, seed=7)
+        coo = csr.tocoo()
+        op = split_coo_operator(coo.row, coo.col, coo.data, coo.shape,
+                                head_items=32, event_chunk=512, tile=8,
+                                dtype=jnp.float64)
+        dense = jnp.asarray(csr.toarray(), jnp.float64)
+        res_split = randomized_svd(op, 8, tol=1e-12, max_iter=300, seed=5,
+                                   dtype=jnp.float64)
+        res_dense = randomized_svd(dense, 8, tol=1e-12, max_iter=300,
+                                   seed=5, dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(res_split.s),
+                                   np.asarray(res_dense.s), rtol=1e-9)
+        assert principal_angles_max_sin(res_split.v, res_dense.v) < 1e-7
 
 
 class TestRandomizedSvd:
