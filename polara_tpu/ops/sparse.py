@@ -672,11 +672,14 @@ def _split_rmm(operands, x, out_dim):
 
 def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
                        head_items="auto", head_budget_gb: float = 4.0,
-                       event_chunk: int = 4_000_000, tile: int = 128,
+                       event_chunk: int = 4_000_000, tile: int = 32,
+                       col_tile: int = 128,
                        head_block_rows: int = 4096,
                        assume_sorted: bool = False,
                        min_coverage: float = 0.15,
-                       dtype: jnp.dtype = jnp.float32) -> MatmulOperator:
+                       dtype: jnp.dtype = jnp.float32,
+                       _max_flat_cells: int = 2 ** 31 - 1
+                       ) -> MatmulOperator:
     """Head/tail split streaming operator: the Zipf head rides the MXU.
 
     The tile-aligned streaming operator's passes are bound by the gather
@@ -702,6 +705,14 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
     exactly the f32 sums the tiled operator computes — the int8 head is
     a storage format, not a precision trade.
 
+    The two tail sides deliberately use different tile sizes (measured
+    on chip at Netflix scale): the row side's per-USER event lists are
+    short once the head absorbs the popular-item mass, so 128-tiles
+    would double the padded stream (34M real -> 76M padded) — ``tile=32``
+    keeps padding ~17% and is the mm-pass knee (0.137s vs 0.207s at
+    128); the col side's per-ITEM lists stay long, and smaller tiles
+    only add per-tile overhead there (rmm 0.232s at 128, 0.245s at 32).
+
     Replaces the reference's out-of-core posture (host scipy CSR +
     ARPACK, ``polara/lib/sparse.py:35-141``) at beyond-HBM scale, with
     the hot 80 % of the event mass moved off the gather engine.
@@ -721,6 +732,9 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
     int8_ok = bool(jnp.all((vals == jnp.round(vals))
                            & (jnp.abs(vals) <= 127.0)))
     d_dtype = jnp.int8 if int8_ok else dtype
+    br = min(head_block_rows, m)
+    n_blocks = -(-m // br)
+    m_pad = n_blocks * br
     if head_items == "auto":
         p = int(head_budget_gb * 2 ** 30) \
             // (m * jnp.dtype(d_dtype).itemsize)
@@ -732,7 +746,7 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
 
     def _plain_tiled():
         return tiled_coo_operator(rows, cols, vals, (m, n),
-                                  event_chunk=event_chunk, tile=tile,
+                                  event_chunk=event_chunk, tile=col_tile,
                                   assume_sorted=True, dtype=dtype)
 
     if p < 1:
@@ -761,11 +775,26 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
     else:
         hr, hc, hv = rows, cols, vals
 
-    br = min(head_block_rows, m)
-    n_blocks = -(-m // br)
-    d = jnp.zeros((n_blocks * br, p), d_dtype) \
-        .at[hr, head_pos[hc]].add(hv.astype(d_dtype)) \
-        .reshape(n_blocks, br, p)
+    # The head block scatters as flat 1-D segment_sums: a 2-D scatter's
+    # (nnz, 2) index matrix tiles to lane width on TPU — a ~64x padded
+    # copy that cannot allocate at 100M events.  Flat cell ids must stay
+    # in int32, so wide heads build in column groups of pg <= int32/m_pad
+    # columns each and concatenate.
+    pg = min(p, _max_flat_cells // m_pad)
+    if pg < 1:      # pragma: no cover - >2B-row matrices
+        raise ValueError("matrix has too many rows for int32 cell ids")
+    groups = []
+    hp = head_pos[hc]
+    for g0 in range(0, p, pg):
+        gw = min(pg, p - g0)
+        in_g = (hp >= g0) & (hp < g0 + gw)
+        gv = jnp.where(in_g, hv, jnp.zeros((), hv.dtype))
+        gp = jnp.where(in_g, hp - g0, 0)
+        groups.append(jax.ops.segment_sum(
+            gv.astype(d_dtype), hr * jnp.int32(gw) + gp,
+            num_segments=m_pad * gw).reshape(m_pad, gw))
+    d = (groups[0] if len(groups) == 1
+         else jnp.concatenate(groups, axis=1)).reshape(n_blocks, br, p)
 
     if n_tail:
         tidx = jnp.nonzero(~mask, size=n_tail)[0]
@@ -773,7 +802,7 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
         row_side = _stage_tiled_side(tr, tc, tv, m, event_chunk, tile)
         corder = jnp.argsort(tc, stable=True)
         col_side = _stage_tiled_side(tc[corder], tr[corder], tv[corder],
-                                     n, event_chunk, tile)
+                                     n, event_chunk, col_tile)
     else:
         row_side = col_side = None
 

@@ -392,6 +392,28 @@ class TestSplitCooOperator:
                                np.array([], np.int32),
                                np.array([], np.float64), (3, 4))
 
+    def test_column_grouped_head_build(self):
+        """Wide heads build in int32-bounded column groups (the flat
+        scatter path taken at Netflix scale) — forcing tiny groups must
+        not change any result."""
+        rows, cols, vals, dense = self._skewed_coo()
+        one = split_coo_operator(rows, cols, vals, dense.shape,
+                                 head_items=24, event_chunk=128, tile=8,
+                                 dtype=jnp.float64)
+        grouped = split_coo_operator(rows, cols, vals, dense.shape,
+                                     head_items=24, event_chunk=128,
+                                     tile=8, dtype=jnp.float64,
+                                     _max_flat_cells=dense.shape[0] * 7)
+        np.testing.assert_array_equal(np.asarray(one.operands[0][0]),
+                                      np.asarray(grouped.operands[0][0]))
+        rs = np.random.RandomState(8)
+        x = rs.randn(dense.shape[1], 5)
+        np.testing.assert_allclose(np.asarray(grouped.mm(jnp.asarray(x))),
+                                   dense @ x, rtol=1e-10, atol=1e-12)
+        y = rs.randn(dense.shape[0], 4)
+        np.testing.assert_allclose(np.asarray(grouped.rmm(jnp.asarray(y))),
+                                   dense.T @ y, rtol=1e-10, atol=1e-12)
+
     def test_rsvd_through_split_operator(self):
         csr = random_rating_matrix(m=180, n=120, density=0.25, seed=7)
         coo = csr.tocoo()
