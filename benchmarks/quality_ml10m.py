@@ -193,7 +193,12 @@ def main():
                 raise RuntimeError(f"identity stage failed:\n{out.stdout}")
             identity = json.loads(out.stdout.strip().splitlines()[-1])
         assert identity["agreement"] >= 0.999, identity
-        payload["svd_identity_fold1"] = identity
+        # name the payload key honestly: a seeded user subset certifies a
+        # sampled regime, not the full 10M-event one (ADVICE r04)
+        key = ("svd_identity_fold1"
+               if identity.get("user_fraction", 1.0) >= 1.0
+               else "svd_identity_fold1_sampled")
+        payload[key] = identity
 
     print(json.dumps(payload))
 

@@ -128,8 +128,10 @@ def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
                      n_valid_cols: int | None = None,
                      block_users: int = 128,
                      interpret: bool = False,
-                     return_values: bool = False) -> jax.Array:
-    """Top-k item indices of ``proj @ item_factorsᵀ`` per user.
+                     return_values: bool = False
+                     ) -> jax.Array | tuple[jax.Array, jax.Array]:
+    """Top-k of ``proj @ item_factorsᵀ`` per user: indices, or
+    (values, indices) with ``return_values=True``.
 
     ``seen_bits``: (n_users, ceil(n_items_padded / 32)) uint32 bitmask of
     seen items (see :func:`pack_seen_bits`).  Returns (n_users, k) int32

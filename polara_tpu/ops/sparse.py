@@ -779,8 +779,14 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
     # (nnz, 2) index matrix tiles to lane width on TPU — a ~64x padded
     # copy that cannot allocate at 100M events.  Flat cell ids must stay
     # in int32, so wide heads build in column groups of pg <= int32/m_pad
-    # columns each and concatenate.
+    # columns each and concatenate.  The per-group accumulate runs in the
+    # event dtype (exact for integer ratings up to 2**24 per cell), so
+    # the staging transient is m_pad*pg f32 cells; it is capped at the
+    # head budget so staging never peaks past the resident block's
+    # allowance even when the int8 storage format makes p 4x wider.
     pg = min(p, _max_flat_cells // m_pad)
+    pg = min(pg, max(1, int(head_budget_gb * 2 ** 30)
+                     // (m_pad * jnp.dtype(dtype).itemsize)))
     if pg < 1:      # pragma: no cover - >2B-row matrices
         raise ValueError("matrix has too many rows for int32 cell ids")
     groups = []
@@ -790,9 +796,22 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
         in_g = (hp >= g0) & (hp < g0 + gw)
         gv = jnp.where(in_g, hv, jnp.zeros((), hv.dtype))
         gp = jnp.where(in_g, hp - g0, 0)
-        groups.append(jax.ops.segment_sum(
-            gv.astype(d_dtype), hr * jnp.int32(gw) + gp,
-            num_segments=m_pad * gw).reshape(m_pad, gw))
+        # Accumulate in the event dtype, NOT int8: duplicate (row, col)
+        # events can sum past 127 even when every individual value fits.
+        # int8 is a storage format, decided per group from the actual
+        # cell sums; one overflowing group demotes the whole head to the
+        # float dtype (int8->float upcast of earlier groups is lossless).
+        acc = jax.ops.segment_sum(
+            gv, hr * jnp.int32(gw) + gp,
+            num_segments=m_pad * gw).reshape(m_pad, gw)
+        if d_dtype == jnp.int8:
+            if bool(jnp.max(jnp.abs(acc)) <= 127.0):
+                acc = acc.astype(jnp.int8)
+            else:
+                d_dtype = dtype
+        groups.append(acc)
+    if d_dtype != jnp.int8:
+        groups = [g.astype(dtype) for g in groups]
     d = (groups[0] if len(groups) == 1
          else jnp.concatenate(groups, axis=1)).reshape(n_blocks, br, p)
 

@@ -325,6 +325,29 @@ class TestSplitCooOperator:
         assert head.dtype == jnp.int8
         assert head.ndim == 3
 
+    def test_duplicate_sums_past_int8_demote_head(self):
+        """Per-cell sums of duplicate (row, col) events can exceed 127
+        even when every individual value fits int8 — the head must
+        demote to the float dtype instead of wrapping (ADVICE r04)."""
+        rows, cols, vals, dense = self._skewed_coo()
+        # hammer one head cell with 40 duplicate 5-star events: sum 200
+        rows = np.concatenate([rows, np.full(40, 3, np.int32)])
+        cols = np.concatenate([cols, np.full(40, cols[0], np.int32)])
+        vals = np.concatenate([vals, np.full(40, 5.0)])
+        dense = np.zeros(dense.shape)
+        np.add.at(dense, (rows, cols), vals)
+        op = split_coo_operator(rows, cols, vals, dense.shape,
+                                head_items=16, event_chunk=128, tile=8,
+                                dtype=jnp.float64)
+        assert op.operands[0][0].dtype == jnp.float64
+        rs = np.random.RandomState(7)
+        x = rs.randn(dense.shape[1], 4)
+        np.testing.assert_allclose(np.asarray(op.mm(jnp.asarray(x))),
+                                   dense @ x, rtol=1e-10, atol=1e-12)
+        y = rs.randn(dense.shape[0], 3)
+        np.testing.assert_allclose(np.asarray(op.rmm(jnp.asarray(y))),
+                                   dense.T @ y, rtol=1e-10, atol=1e-12)
+
     def test_float_values_keep_float_head(self):
         rows, cols, vals, dense = self._skewed_coo(seed=3)
         rs = np.random.RandomState(9)
