@@ -169,6 +169,10 @@ class SVDModel(RecommenderModel):
                                 oversample=self.svd_oversample,
                                 n_iter=self.svd_iters, seed=self.seed,
                                 tol=self.svd_tol,
+                                split_head=defaults.get_default(
+                                    "streaming_split_head"),
+                                head_budget_gb=defaults.get_default(
+                                    "streaming_head_gb"),
                                 dtype=jnp.dtype(self.compute_dtype)))
                     self._store_factors(result, return_factors)
                     return

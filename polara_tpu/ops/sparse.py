@@ -670,6 +670,63 @@ def _split_rmm(operands, x, out_dim):
     return jnp.zeros((out_dim, x.shape[1]), x.dtype).at[head_ids].set(head)
 
 
+def build_head_block(hr, hp, hv, m_pad: int, p: int, dtype,
+                     head_budget_gb: float = 4.0,
+                     int8_ok: Optional[bool] = None,
+                     _max_flat_cells: int = 2 ** 31 - 1) -> jax.Array:
+    """Dense ``(m_pad, p)`` head block from head events.
+
+    ``hr`` are (padded) row ids, ``hp`` the head-local column positions
+    in ``[0, p)``, ``hv`` the event values.  Shared by
+    :func:`split_coo_operator` and the mesh tier
+    (``parallel.distributed.distributed_chunked_rsvd``), which builds
+    the block over device-band-padded row ids and shards it by rows.
+
+    The block scatters as flat 1-D segment_sums: a 2-D scatter's
+    (nnz, 2) index matrix tiles to lane width on TPU — a ~64x padded
+    copy that cannot allocate at 100M events.  Flat cell ids must stay
+    in int32, so wide heads build in column groups of pg <= int32/m_pad
+    columns each and concatenate.  The per-group accumulate runs in the
+    event dtype (exact for integer ratings up to 2**24 per cell), so
+    the staging transient is m_pad*pg float cells; it is capped at the
+    head budget so staging never peaks past the resident block's
+    allowance even when the int8 storage format makes p 4x wider.
+    """
+    if int8_ok is None:
+        int8_ok = bool(jnp.all((hv == jnp.round(hv))
+                               & (jnp.abs(hv) <= 127.0)))
+    d_dtype = jnp.int8 if int8_ok else dtype
+    pg = min(p, _max_flat_cells // m_pad)
+    pg = min(pg, max(1, int(head_budget_gb * 2 ** 30)
+                     // (m_pad * jnp.dtype(dtype).itemsize)))
+    if pg < 1:      # pragma: no cover - >2B-row matrices
+        raise ValueError("matrix has too many rows for int32 cell ids")
+    groups = []
+    for g0 in range(0, p, pg):
+        gw = min(pg, p - g0)
+        in_g = (hp >= g0) & (hp < g0 + gw)
+        gv = jnp.where(in_g, hv, jnp.zeros((), hv.dtype))
+        gp = jnp.where(in_g, hp - g0, 0)
+        # Accumulate in the event dtype, NOT int8: duplicate (row, col)
+        # events can sum past 127 even when every individual value fits.
+        # int8 is a storage format, decided per group from the actual
+        # cell sums; one overflowing group demotes the whole head to the
+        # float dtype (int8->float upcast of earlier groups is lossless).
+        acc = jax.ops.segment_sum(
+            gv, hr * jnp.int32(gw) + gp,
+            num_segments=m_pad * gw).reshape(m_pad, gw)
+        if d_dtype == jnp.int8:
+            if bool(jnp.max(jnp.abs(acc)) <= 127.0):
+                acc = acc.astype(jnp.int8)
+            else:
+                d_dtype = dtype
+        groups.append(acc)
+    if d_dtype != jnp.int8:
+        groups = [g.astype(dtype) for g in groups]
+    return groups[0] if len(groups) == 1 else jnp.concatenate(groups,
+                                                              axis=1)
+
+
 def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
                        head_items="auto", head_budget_gb: float = 4.0,
                        event_chunk: int = 4_000_000, tile: int = 32,
@@ -775,45 +832,12 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
     else:
         hr, hc, hv = rows, cols, vals
 
-    # The head block scatters as flat 1-D segment_sums: a 2-D scatter's
-    # (nnz, 2) index matrix tiles to lane width on TPU — a ~64x padded
-    # copy that cannot allocate at 100M events.  Flat cell ids must stay
-    # in int32, so wide heads build in column groups of pg <= int32/m_pad
-    # columns each and concatenate.  The per-group accumulate runs in the
-    # event dtype (exact for integer ratings up to 2**24 per cell), so
-    # the staging transient is m_pad*pg f32 cells; it is capped at the
-    # head budget so staging never peaks past the resident block's
-    # allowance even when the int8 storage format makes p 4x wider.
-    pg = min(p, _max_flat_cells // m_pad)
-    pg = min(pg, max(1, int(head_budget_gb * 2 ** 30)
-                     // (m_pad * jnp.dtype(dtype).itemsize)))
-    if pg < 1:      # pragma: no cover - >2B-row matrices
-        raise ValueError("matrix has too many rows for int32 cell ids")
-    groups = []
     hp = head_pos[hc]
-    for g0 in range(0, p, pg):
-        gw = min(pg, p - g0)
-        in_g = (hp >= g0) & (hp < g0 + gw)
-        gv = jnp.where(in_g, hv, jnp.zeros((), hv.dtype))
-        gp = jnp.where(in_g, hp - g0, 0)
-        # Accumulate in the event dtype, NOT int8: duplicate (row, col)
-        # events can sum past 127 even when every individual value fits.
-        # int8 is a storage format, decided per group from the actual
-        # cell sums; one overflowing group demotes the whole head to the
-        # float dtype (int8->float upcast of earlier groups is lossless).
-        acc = jax.ops.segment_sum(
-            gv, hr * jnp.int32(gw) + gp,
-            num_segments=m_pad * gw).reshape(m_pad, gw)
-        if d_dtype == jnp.int8:
-            if bool(jnp.max(jnp.abs(acc)) <= 127.0):
-                acc = acc.astype(jnp.int8)
-            else:
-                d_dtype = dtype
-        groups.append(acc)
-    if d_dtype != jnp.int8:
-        groups = [g.astype(dtype) for g in groups]
-    d = (groups[0] if len(groups) == 1
-         else jnp.concatenate(groups, axis=1)).reshape(n_blocks, br, p)
+    d = build_head_block(hr, hp, hv, m_pad, p, dtype,
+                         head_budget_gb=head_budget_gb,
+                         int8_ok=int8_ok,
+                         _max_flat_cells=_max_flat_cells
+                         ).reshape(n_blocks, br, p)
 
     if n_tail:
         tidx = jnp.nonzero(~mask, size=n_tail)[0]

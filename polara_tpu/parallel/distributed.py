@@ -713,26 +713,11 @@ def _cholesky_qr2_psum(a: jax.Array, axis: str):
     return q2, r2 @ r1
 
 
-def _chunked_rsvd_local(lrows, cols, vals, starts, omega, *, axis: str,
-                        span: int, m_band: int, n_iter: int, k: int,
-                        tol: Optional[float] = None, max_iter: int = 100):
-    """Per-device body of :func:`distributed_chunked_rsvd`.
-
-    Each device owns a contiguous user-row band as a chunked event
-    stream (``(C_local, event_chunk)`` panels, local row ids).  The
-    power iteration alternates:
-
-    * ``A @ x``: shard-local scan (gather + sorted segment_sum per
-      chunk), output rows stay local — zero communication;
-    * ``Aᵀ @ y``: shard-local column reduction, then one (n × b) psum;
-    * row-panel QR via :func:`_cholesky_qr2_psum` (b × b Gram psum),
-      item-panel QR replicated (deterministic, identical on all
-      devices).
-
-    Per-iteration traffic is O(n·b + b²) — independent of both the user
-    count and nnz.
-    """
-    n, blk = omega.shape
+def _band_passes(lrows, cols, vals, starts, *, span: int, m_band: int,
+                 n: int, blk: int):
+    """Local (per-band) ``A @ x`` / ``Aᵀ @ y`` scans over a device's
+    chunked event panels.  ``rmm`` returns the LOCAL column reduction —
+    the caller psums."""
 
     def mm(x):                       # (n, blk) -> (m_band, blk) local
         def body(acc, chunk):
@@ -749,7 +734,7 @@ def _chunked_rsvd_local(lrows, cols, vals, starts, omega, *, axis: str,
         acc, _ = jax.lax.scan(body, acc, (lrows, cols, vals, starts))
         return acc
 
-    def rmm(y):                      # (m_band, blk) local -> (n, blk)
+    def rmm_local(y):                # (m_band, blk) local -> (n, blk)
         def body(acc, chunk):
             lr, cl, vl, st = chunk
             ys = jax.lax.dynamic_slice(y, (st, jnp.zeros((), st.dtype)),
@@ -760,8 +745,18 @@ def _chunked_rsvd_local(lrows, cols, vals, starts, omega, *, axis: str,
 
         acc = jnp.zeros((n, blk), y.dtype)
         acc, _ = jax.lax.scan(body, acc, (lrows, cols, vals, starts))
-        return jax.lax.psum(acc, axis)
+        return acc
 
+    return mm, rmm_local
+
+
+def _rsvd_power_psum(mm, rmm, omega, *, axis: str, n_iter: int, k: int,
+                     tol: Optional[float], max_iter: int):
+    """Shared power-iteration scaffold of the distributed rsvd bodies:
+    row-panel QR via :func:`_cholesky_qr2_psum` (b × b Gram psum),
+    item-panel QR replicated (deterministic, identical on all devices).
+    Per-iteration traffic is O(n·b + b²) — independent of both the user
+    count and nnz."""
     q, _ = _cholesky_qr2_psum(mm(omega), axis)
     if tol is None:
         for _ in range(n_iter):
@@ -792,6 +787,63 @@ def _chunked_rsvd_local(lrows, cols, vals, starts, omega, *, axis: str,
     return (q @ ub)[:, :k], s[:k], vt[:k, :].T
 
 
+def _chunked_rsvd_local(lrows, cols, vals, starts, omega, *, axis: str,
+                        span: int, m_band: int, n_iter: int, k: int,
+                        tol: Optional[float] = None, max_iter: int = 100):
+    """Per-device body of :func:`distributed_chunked_rsvd`.
+
+    Each device owns a contiguous user-row band as a chunked event
+    stream (``(C_local, event_chunk)`` panels, local row ids).  The
+    power iteration alternates:
+
+    * ``A @ x``: shard-local scan (gather + sorted segment_sum per
+      chunk), output rows stay local — zero communication;
+    * ``Aᵀ @ y``: shard-local column reduction, then one (n × b) psum.
+    """
+    n, blk = omega.shape
+    mm, rmm_local = _band_passes(lrows, cols, vals, starts, span=span,
+                                 m_band=m_band, n=n, blk=blk)
+    rmm = lambda y: jax.lax.psum(rmm_local(y), axis)
+    return _rsvd_power_psum(mm, rmm, omega, axis=axis, n_iter=n_iter,
+                            k=k, tol=tol, max_iter=max_iter)
+
+
+def _split_rsvd_local(lrows, cols, vals, starts, d_local, head_ids, omega,
+                      *, axis: str, span: int, m_band: int, n_iter: int,
+                      k: int, tol: Optional[float] = None,
+                      max_iter: int = 100):
+    """Per-device body of the split-head mesh tier: each device owns its
+    user-row band's slice of the dense Zipf head block (``d_local``,
+    ``(nb_local, block_rows, P)`` — int8 when lossless, upcast
+    block-by-block inside the scan exactly like the single-chip
+    operator) plus its band's TAIL events in the chunked layout.
+
+    * ``A @ x``: local head matmul + local tail scan — zero
+      communication;
+    * ``Aᵀ @ y``: local ``D_bandᵀ @ y_band`` (a (P, b) panel) scattered
+      into the local tail column reduction, then the same one (n × b)
+      psum as the plain path — the head adds NO extra collectives.
+    """
+    from polara_tpu.ops.sparse import _head_mm_blocks, _head_rmm_blocks
+
+    n, blk = omega.shape
+    tail_mm, tail_rmm_local = _band_passes(lrows, cols, vals, starts,
+                                           span=span, m_band=m_band,
+                                           n=n, blk=blk)
+
+    def mm(x):
+        return tail_mm(x) + _head_mm_blocks(d_local, head_ids, x, m_band)
+
+    def rmm(y):
+        head = _head_rmm_blocks(d_local, y)          # (P, blk) local
+        # tail events never reference head columns -> disjoint adds
+        acc = tail_rmm_local(y).at[head_ids].add(head)
+        return jax.lax.psum(acc, axis)
+
+    return _rsvd_power_psum(mm, rmm, omega, axis=axis, n_iter=n_iter,
+                            k=k, tol=tol, max_iter=max_iter)
+
+
 def distributed_chunked_rsvd(rows: np.ndarray, cols: np.ndarray,
                              vals: np.ndarray, shape, k: int, mesh: Mesh,
                              oversample: Optional[int] = None,
@@ -799,7 +851,12 @@ def distributed_chunked_rsvd(rows: np.ndarray, cols: np.ndarray,
                              event_chunk: int = 1_000_000,
                              tol: Optional[float] = None,
                              max_iter: int = 100,
-                             dtype=jnp.float32) -> SvdResult:
+                             dtype=jnp.float32,
+                             split_head: bool = False,
+                             head_items="auto",
+                             head_budget_gb: float = 4.0,
+                             head_block_rows: int = 4096,
+                             min_coverage: float = 0.15) -> SvdResult:
     """Randomized SVD of a beyond-HBM sparse matrix, events sharded over
     the mesh.
 
@@ -842,6 +899,16 @@ def distributed_chunked_rsvd(rows: np.ndarray, cols: np.ndarray,
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     m_band = -(-m // n_dev)
+
+    head = None
+    if split_head:
+        head = _stage_split_head(rows, cols, vals, m, n, n_dev, m_band,
+                                 mesh, axis, head_items, head_budget_gb,
+                                 head_block_rows, min_coverage, dtype)
+    if head is not None:
+        d_sharded, head_ids_d, tail_mask = head
+        rows, cols, vals = rows[tail_mask], cols[tail_mask], vals[tail_mask]
+
     bounds = np.searchsorted(rows, np.arange(n_dev + 1) * m_band)
     max_e = max(int((bounds[1:] - bounds[:-1]).max()), 1)
     event_chunk = min(event_chunk, max_e)
@@ -878,16 +945,92 @@ def distributed_chunked_rsvd(rows: np.ndarray, cols: np.ndarray,
         jax.random.normal(jax.random.key(seed), (n, blk), dtype=dtype),
         NamedSharding(mesh, P()))
 
-    local = partial(_chunked_rsvd_local, axis=axis, span=span,
-                    m_band=m_band, n_iter=n_iter, k=k,
-                    tol=None if tol is None else float(tol),
-                    max_iter=max_iter)
-    fn = jax.jit(shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(axis), P(), P()), check_vma=False))
-    u, s, v = fn(lrows_d, cols_d, vals_d, starts_d, omega)
+    common = dict(axis=axis, span=span, m_band=m_band, n_iter=n_iter,
+                  k=k, tol=None if tol is None else float(tol),
+                  max_iter=max_iter)
+    if head is not None:
+        fn = jax.jit(shard_map(
+            partial(_split_rsvd_local, **common), mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+                      P()),
+            out_specs=(P(axis), P(), P()), check_vma=False))
+        u, s, v = fn(lrows_d, cols_d, vals_d, starts_d, d_sharded,
+                     head_ids_d, omega)
+    else:
+        fn = jax.jit(shard_map(
+            partial(_chunked_rsvd_local, **common), mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=(P(axis), P(), P()), check_vma=False))
+        u, s, v = fn(lrows_d, cols_d, vals_d, starts_d, omega)
     return SvdResult(u=u[:m], s=s, v=v)
+
+
+def _stage_split_head(rows, cols, vals, m, n, n_dev, m_band, mesh, axis,
+                      head_items, head_budget_gb, head_block_rows,
+                      min_coverage, dtype):
+    """Head selection + row-sharded head-block build for the split-head
+    mesh tier of :func:`distributed_chunked_rsvd`.
+
+    The same head rules as the single-chip operator
+    (``ops.sparse.split_coo_operator``): auto-size P from the budget,
+    lane-align, decline when the covered event fraction cannot pay.  The
+    block builds through :func:`ops.sparse.build_head_block` over
+    device-band-padded row ids, so reshaping to ``(n_dev · nb_local,
+    block_rows, P)`` and sharding dim 0 over the mesh gives every device
+    exactly its user band's rows — the row-band layout IS the head
+    layout.  Returns ``(d_sharded, head_ids_dev, tail_mask)`` or
+    ``None`` when the head declines.
+    """
+    from polara_tpu.ops.sparse import build_head_block
+
+    nnz = len(rows)
+    int8_ok = bool(vals.size
+                   and np.abs(vals).max() <= 127
+                   and np.array_equal(vals, np.rint(vals)))
+    itemsize = 1 if int8_ok else np.dtype(dtype).itemsize
+    if head_items == "auto":
+        p = int(head_budget_gb * 2 ** 30) // (m * itemsize)
+    else:
+        p = int(head_items)
+    p = min(p, n)
+    if p >= 128:
+        p = (p // 128) * 128
+    if p < 1:
+        return None
+
+    if p < n:
+        counts = np.bincount(cols, minlength=n)
+        top = np.argpartition(counts, n - p)[n - p:]
+        if counts[top].sum() / nnz < min_coverage:
+            return None
+        head_ids = np.sort(top).astype(np.int32)
+        is_head = np.zeros(n, bool)
+        is_head[head_ids] = True
+        mask = is_head[cols]
+        hr, hc, hv = rows[mask], cols[mask], vals[mask]
+    else:
+        head_ids = np.arange(n, dtype=np.int32)
+        mask = np.ones(nnz, bool)
+        hr, hc, hv = rows, cols, vals
+
+    head_pos = np.zeros(n, np.int32)
+    head_pos[head_ids] = np.arange(p, dtype=np.int32)
+    br = min(head_block_rows, m_band)
+    nb_local = -(-m_band // br)
+    m_band_pad = nb_local * br
+    dev = hr // m_band
+    hr_pad = (dev * m_band_pad + (hr - dev * m_band)).astype(np.int64)
+
+    d_flat = build_head_block(
+        jnp.asarray(hr_pad, jnp.int32), jnp.asarray(head_pos[hc]),
+        jnp.asarray(hv, dtype), n_dev * m_band_pad, p, dtype,
+        head_budget_gb=head_budget_gb, int8_ok=int8_ok)
+    d_sharded = jax.device_put(
+        d_flat.reshape(n_dev * nb_local, br, p),
+        NamedSharding(mesh, P(axis)))
+    head_ids_d = jax.device_put(jnp.asarray(head_ids),
+                                NamedSharding(mesh, P()))
+    return d_sharded, head_ids_d, ~mask
 
 
 def sharded_score_topk_2d(item_factors: jax.Array, profiles: jax.Array,

@@ -69,6 +69,49 @@ def test_distributed_chunked_rsvd_matches_single_device(mesh):
     assert principal_angles_max_sin(res_dist.u, res_local.u) < 1e-7
 
 
+def test_distributed_split_head_rsvd_matches_single_device(mesh):
+    """Split-head mesh tier (row-sharded dense Zipf head + banded tail
+    events) == single-device rSVD.  Non-divisible geometry, duplicate
+    events (head cell sums past one rating), and a head narrower than
+    the catalog so both head and tail paths carry real mass."""
+    from polara_tpu.parallel import distributed_chunked_rsvd
+
+    rs = np.random.RandomState(7)
+    m, n, k, n_events = 301, 83, 7, 6000
+    w = 1.0 / np.arange(1, n + 1) ** 0.9
+    ev_cols = rs.choice(n, size=n_events, p=w / w.sum())
+    ev_rows = np.sort(rs.randint(0, m, n_events))
+    ev_vals = rs.randint(1, 6, n_events).astype(np.float64)
+    dense = np.zeros((m, n))
+    np.add.at(dense, (ev_rows, ev_cols), ev_vals)
+
+    res_dist = distributed_chunked_rsvd(
+        ev_rows, ev_cols, ev_vals, (m, n), k, mesh, n_iter=40, seed=0,
+        event_chunk=97, dtype=jnp.float64, split_head=True, head_items=24,
+        head_block_rows=16)
+    res_local = randomized_svd(jnp.asarray(dense, jnp.float64), k,
+                               n_iter=40, seed=0, dtype=jnp.float64,
+                               qr_method="cholesky2")
+    np.testing.assert_allclose(np.asarray(res_dist.s),
+                               np.asarray(res_local.s), rtol=1e-9)
+    assert principal_angles_max_sin(res_dist.v, res_local.v) < 1e-7
+    assert principal_angles_max_sin(res_dist.u, res_local.u) < 1e-7
+    assert res_dist.u.shape == (m, k)
+
+    # flat margins: the head declines (coverage gate) and the plain
+    # banded path must produce the same factors as split_head=False
+    flat_cols = rs.randint(0, n, n_events)
+    res_declined = distributed_chunked_rsvd(
+        ev_rows, flat_cols, ev_vals, (m, n), k, mesh, n_iter=40, seed=0,
+        event_chunk=97, dtype=jnp.float64, split_head=True, head_items=4,
+        min_coverage=0.9)
+    res_plain = distributed_chunked_rsvd(
+        ev_rows, flat_cols, ev_vals, (m, n), k, mesh, n_iter=40, seed=0,
+        event_chunk=97, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(res_declined.s),
+                               np.asarray(res_plain.s), rtol=1e-12)
+
+
 def test_full_train_step_runs_sharded(mesh):
     rs = np.random.RandomState(2)
     n_users, n_items, k, topk = 64, 40, 4, 5
