@@ -176,7 +176,7 @@ def make_realistic_coo_device(n_users: int, n_items: int, n_events: int,
                               rating_hist=ML1M_RATING_HIST,
                               min_events_per_user: int = 5,
                               seed: int = 0, row_chunk: int = 8192,
-                              log=None):
+                              as_device: bool = False, log=None):
     """Device-side counterpart of :func:`make_realistic_coo`.
 
     Same calibration (Zipf margins, slow-decay latent spectrum,
@@ -269,6 +269,13 @@ def make_realistic_coo_device(n_users: int, n_items: int, n_events: int,
                                             score.dtype))
     vals_dev = (jnp.searchsorted(edges, score, side="right") + 1)
 
+    if as_device:
+        # zero-wire mode: the stream stays on the accelerator (row-sorted
+        # int32/int32/float32) — at 100M events the device→host pull is
+        # the dominant cost of generation, and benchmark staging can
+        # consume device arrays directly (`_upload_event_stream` passes
+        # them through untouched)
+        return rows_dev, cols_dev, vals_dev.astype(jnp.float32)
     rows = np.asarray(rows_dev)
     cols = np.asarray(cols_dev)
     vals = np.asarray(vals_dev, np.float64)
@@ -287,14 +294,32 @@ NETFLIX_GEOMETRY = dict(n_users=480_189, n_items=17_770,
 
 
 def load_or_make_benchmark_coo(geometry: dict, cache_path: str,
-                               seed: int = 0, log=None):
+                               seed: int = 0, log=None,
+                               device: bool = False):
     """Calibrated benchmark interactions at a standard geometry, cached
-    on disk (the device generation is a one-time cost per machine)."""
+    on disk (the device generation is a one-time cost per machine).
+
+    ``device=True`` REGENERATES the stream on the accelerator and
+    returns device arrays instead of loading the npz — zero host→device
+    wire.  Measured at Netflix scale (r5): the benchmark tunnel's bulk
+    upload collapses to <1 MB/s in bad epochs (512 s for the 392 MB
+    compressed stream), while seeded on-device regeneration is
+    wire-independent.  jax.random is deterministic per (seed, backend),
+    so repeat runs see the identical workload; callers that also need
+    host arrays (e.g. an ARPACK reference) load the npz separately and
+    can spot-check a slice for cross-run identity.
+    """
     import os
 
     def say(msg):
         if log is not None:
             log(msg)
+
+    if device:
+        say(f"regenerating calibrated workload on device (zero wire): "
+            f"{geometry}")
+        return make_realistic_coo_device(seed=seed, log=log,
+                                         as_device=True, **geometry)
 
     if os.path.exists(cache_path):
         say(f"workload cache hit: {cache_path}")
@@ -313,27 +338,31 @@ def load_or_make_benchmark_coo(geometry: dict, cache_path: str,
 
 
 def load_or_make_ml10m(cache_path: str = "/tmp/polara_tpu_bench_ml10m_v1.npz",
-                       seed: int = 0, log=None):
-    return load_or_make_benchmark_coo(ML10M_GEOMETRY, cache_path, seed, log)
+                       seed: int = 0, log=None, device: bool = False):
+    return load_or_make_benchmark_coo(ML10M_GEOMETRY, cache_path, seed,
+                                      log, device=device)
 
 
 def load_or_make_ml1m(cache_path: str = "/tmp/polara_tpu_bench_ml1m_v1.npz",
-                      seed: int = 0, log=None):
-    return load_or_make_benchmark_coo(ML1M_GEOMETRY, cache_path, seed, log)
+                      seed: int = 0, log=None, device: bool = False):
+    return load_or_make_benchmark_coo(ML1M_GEOMETRY, cache_path, seed,
+                                      log, device=device)
 
 
 def load_or_make_netflix(
         cache_path: str = "/tmp/polara_tpu_bench_netflix_v1.npz",
-        seed: int = 0, log=None):
+        seed: int = 0, log=None, device: bool = False):
     """Calibrated Netflix-prize-geometry interactions (~100M events).
 
     Generation is chunked at 4096 user rows so the per-chunk
     (rows × 17,770) Gumbel keying stays within a few hundred MB; the
     one-time cost is dominated by pulling the ~1.2 GB event stream to
-    the host for the npz cache.
+    the host for the npz cache.  ``device=True`` keeps the stream on
+    the accelerator (regenerated, zero wire).
     """
     geometry = dict(NETFLIX_GEOMETRY, row_chunk=4096)
-    return load_or_make_benchmark_coo(geometry, cache_path, seed, log)
+    return load_or_make_benchmark_coo(geometry, cache_path, seed, log,
+                                      device=device)
 
 
 def make_realistic_interactions(n_users: int = 2000, n_items: int = 1200,

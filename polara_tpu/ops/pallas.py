@@ -45,7 +45,8 @@ def _round_up(x: int, m: int) -> int:
 def _score_topk_kernel(proj_ref, items_ref, seen_bits_ref, out_vals_ref,
                        out_idx_ref, vals_scr, idx_scr, *,
                        k: int, tile_n: int, n_items: int,
-                       filter_seen: bool, interpret: bool):
+                       filter_seen: bool, interpret: bool,
+                       tile_skip: bool):
     t = pl.program_id(1)            # item tile (minor, sequential)
     n_tiles = pl.num_programs(1)
 
@@ -77,41 +78,64 @@ def _score_topk_kernel(proj_ref, items_ref, seen_bits_ref, out_vals_ref,
         bit = (rep >> (lane // n_words).astype(jnp.uint32)) & jnp.uint32(1)
         scores = jnp.where(bit != 0, -jnp.inf, scores)
 
-    # merge tile into the running top-k by k-step max selection (lane-dim
-    # dynamic writes are not Mosaic-legal, so the new carry accumulates
-    # functionally through masked selects and lands in scratch once).
-    # Measured alternative: jnp.argmax (reduce-with-index) lowers in
-    # Mosaic and gives the first-max tie rule in one reduction, but runs
-    # ~10% SLOWER end-to-end than this max/eq/minpos chain (r3 A/B:
-    # 0.192s vs 0.174s headline) — keep the chain.
-    work_vals = jnp.concatenate([vals_scr[:], scores], axis=1)
-    work_idx = jnp.concatenate([idx_scr[:], cols], axis=1)
-    width = work_vals.shape[1]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n_users, width), 1)
-    carry_pos = jax.lax.broadcasted_iota(jnp.int32,
-                                         (n_users, vals_scr.shape[1]), 1)
+    def merge():
+        # merge tile into the running top-k by k-step max selection
+        # (lane-dim dynamic writes are not Mosaic-legal, so the new carry
+        # accumulates functionally through masked selects and lands in
+        # scratch once).  Measured alternative: jnp.argmax
+        # (reduce-with-index) lowers in Mosaic and gives the first-max
+        # tie rule in one reduction, but runs ~10% SLOWER end-to-end than
+        # this max/eq/minpos chain (r3 A/B: 0.192s vs 0.174s headline) —
+        # keep the chain.
+        work_vals = jnp.concatenate([vals_scr[:], scores], axis=1)
+        work_idx = jnp.concatenate([idx_scr[:], cols], axis=1)
+        width = work_vals.shape[1]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n_users, width), 1)
+        carry_pos = jax.lax.broadcasted_iota(
+            jnp.int32, (n_users, vals_scr.shape[1]), 1)
 
-    def select(i, state):
-        wv, new_vals, new_idx = state
-        best = jnp.max(wv, axis=1, keepdims=True)               # (U, 1)
-        is_best = wv == best
-        minpos = jnp.min(jnp.where(is_best, pos, width), axis=1,
-                         keepdims=True)
-        first = is_best & (pos == minpos)
-        chosen = jnp.sum(jnp.where(first, work_idx, 0), axis=1,
-                         keepdims=True).astype(new_idx.dtype)
-        found = best > -jnp.inf
-        slot = carry_pos == i
-        new_vals = jnp.where(slot, best, new_vals)
-        new_idx = jnp.where(slot & found, chosen, new_idx)
-        return jnp.where(first, -jnp.inf, wv), new_vals, new_idx
+        def select(i, state):
+            wv, new_vals, new_idx = state
+            best = jnp.max(wv, axis=1, keepdims=True)           # (U, 1)
+            is_best = wv == best
+            minpos = jnp.min(jnp.where(is_best, pos, width), axis=1,
+                             keepdims=True)
+            first = is_best & (pos == minpos)
+            chosen = jnp.sum(jnp.where(first, work_idx, 0), axis=1,
+                             keepdims=True).astype(new_idx.dtype)
+            found = best > -jnp.inf
+            slot = carry_pos == i
+            new_vals = jnp.where(slot, best, new_vals)
+            new_idx = jnp.where(slot & found, chosen, new_idx)
+            return jnp.where(first, -jnp.inf, wv), new_vals, new_idx
 
-    init = (work_vals,
-            jnp.full_like(vals_scr[:], -jnp.inf),
-            jnp.full_like(idx_scr[:], PAD_CONST))
-    _, new_vals, new_idx = jax.lax.fori_loop(0, k, select, init)
-    vals_scr[:] = new_vals
-    idx_scr[:] = new_idx
+        init = (work_vals,
+                jnp.full_like(vals_scr[:], -jnp.inf),
+                jnp.full_like(idx_scr[:], PAD_CONST))
+        _, new_vals, new_idx = jax.lax.fori_loop(0, k, select, init)
+        vals_scr[:] = new_vals
+        idx_scr[:] = new_idx
+
+    if tile_skip:
+        # a tile whose best score cannot beat any user's current k-th
+        # best is a no-op merge — skip the k-pass selection entirely.
+        # Ties never displace (equal value resolves to the LOWER column
+        # index, and carry entries come from earlier tiles), so <= is
+        # safe.  Once the carries warm up, most tiles lose for every
+        # user in the block and the merge cost collapses to one (U,
+        # TILE_N) reduction + a scalar branch.
+        kth_pos = jax.lax.broadcasted_iota(
+            jnp.int32, (n_users, vals_scr.shape[1]), 1)
+        kth_best = jnp.min(jnp.where(kth_pos < k, vals_scr[:], jnp.inf),
+                           axis=1, keepdims=True)          # (U, 1)
+        can_improve = jnp.any(jnp.max(scores, axis=1, keepdims=True)
+                              > kth_best)
+
+        @pl.when(can_improve)
+        def _():
+            merge()
+    else:
+        merge()
 
     @pl.when(t == n_tiles - 1)
     def _():
@@ -121,14 +145,16 @@ def _score_topk_kernel(proj_ref, items_ref, seen_bits_ref, out_vals_ref,
 
 @functools.partial(jax.jit, static_argnames=("k", "filter_seen", "tile_n",
                                              "n_valid_cols", "block_users",
-                                             "interpret", "return_values"))
+                                             "interpret", "return_values",
+                                             "tile_skip"))
 def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
                      seen_bits: jax.Array, k: int,
                      filter_seen: bool = True, tile_n: int = 4096,
                      n_valid_cols: int | None = None,
                      block_users: int = 128,
                      interpret: bool = False,
-                     return_values: bool = False
+                     return_values: bool = False,
+                     tile_skip: bool = False
                      ) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Top-k of ``proj @ item_factorsᵀ`` per user: indices, or
     (values, indices) with ``return_values=True``.
@@ -167,7 +193,8 @@ def fused_score_topk(proj: jax.Array, item_factors: jax.Array,
 
     kernel = functools.partial(
         _score_topk_kernel, k=k, tile_n=tile_n, n_items=n_valid,
-        filter_seen=filter_seen, interpret=interpret)
+        filter_seen=filter_seen, interpret=interpret,
+        tile_skip=tile_skip)
 
     out_vals, out_idx = pl.pallas_call(
         kernel,
@@ -225,6 +252,24 @@ def pack_seen_bits_device(rows: jax.Array, cols: jax.Array, n_rows: int,
     out = jnp.zeros((n_rows, n_tiles * w), jnp.uint32)
     return out.at[rows, word].add(bit, indices_are_sorted=False,
                                   unique_indices=False)
+
+
+def clear_seen_bits_device(bits: jax.Array, rows: jax.Array,
+                           cols: jax.Array,
+                           tile_n: int = 4096) -> jax.Array:
+    """Clear the (row, col) bits of a packed striped bitmask on device.
+
+    The inverse scatter of :func:`pack_seen_bits_device` for pairs whose
+    bit IS set (each unique pair owns its bit, so a wrapping uint32
+    subtract clears exactly that bit).  Lets holdout studies reuse a
+    full-stream bitmask without re-packing or re-uploading: zero wire
+    beyond the (n_held,) id arrays.
+    """
+    w = tile_n // 32
+    cols = cols.astype(jnp.int32)
+    word = (cols // tile_n) * w + (cols % tile_n) % w
+    bit = jnp.uint32(1) << ((cols % tile_n) // w).astype(jnp.uint32)
+    return bits.at[rows.astype(jnp.int32), word].add(jnp.uint32(0) - bit)
 
 
 def pack_seen_bits(rows: np.ndarray, cols: np.ndarray, n_rows: int,

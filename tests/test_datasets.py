@@ -137,6 +137,24 @@ def test_epinions_and_laplacian(tmp_path):
     assert np.allclose(lap.toarray().sum(axis=1), 0)
 
 
+def test_device_generator_as_device_matches_host_pull():
+    """as_device=True returns the identical stream as the host-pulling
+    path (same seed, same backend) — the zero-wire benchmark staging
+    depends on this identity."""
+    import jax.numpy as jnp
+    from polara_tpu.datasets.synthetic import make_realistic_coo_device
+
+    kw = dict(n_users=120, n_items=40, n_events=1500, seed=3, row_chunk=64)
+    rows_h, cols_h, vals_h = make_realistic_coo_device(**kw)
+    rows_d, cols_d, vals_d = make_realistic_coo_device(as_device=True, **kw)
+    assert isinstance(rows_d, jnp.ndarray)
+    assert vals_d.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(rows_d), rows_h)
+    np.testing.assert_array_equal(np.asarray(cols_d), cols_h)
+    np.testing.assert_array_equal(np.asarray(vals_d, np.float64), vals_h)
+    assert bool(np.all(np.diff(np.asarray(rows_d)) >= 0))
+
+
 def test_synthetic_interactions():
     data = ds.make_synthetic_interactions(n_users=50, n_items=30,
                                           n_events=400, include_time=True,

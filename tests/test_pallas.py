@@ -30,17 +30,61 @@ def _random_case(seed, n_users=16, n_items=700, rank=12, nnz=300):
 
 
 @pytest.mark.parametrize("filter_seen", [True, False])
-def test_kernel_parity_with_xla(filter_seen):
+@pytest.mark.parametrize("tile_skip", [False, True])
+def test_kernel_parity_with_xla(filter_seen, tile_skip):
     proj, items, rows, cols = _random_case(0)
     n_items = items.shape[0]
-    bits = jnp.asarray(pack_seen_bits(rows, cols, proj.shape[0], n_items))
+    # tile_n=128 so the tile-skip guard sees many tiles (5+) and actually
+    # exercises both skipped and merged grid steps; the striped bitmask
+    # must be packed with the same tile_n the kernel runs with
+    bits = jnp.asarray(pack_seen_bits(rows, cols, proj.shape[0], n_items,
+                                      tile_n=128))
     got = np.asarray(fused_score_topk(proj, items, bits, 10,
                                       filter_seen=filter_seen,
+                                      tile_n=128, tile_skip=tile_skip,
                                       interpret=INTERP))
     ref = np.asarray(mask_and_topk(
         proj @ items.T, jnp.asarray(rows), jnp.asarray(cols),
         jnp.ones(len(rows), bool), 10, filter_seen=filter_seen,
         n_valid_cols=n_items))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_clear_seen_bits_device_inverts_pack():
+    """Clearing a subset of packed (row, col) bits == packing without
+    that subset (zero-wire holdout studies depend on this)."""
+    from polara_tpu.ops.pallas import clear_seen_bits_device
+
+    rs = np.random.RandomState(4)
+    n_rows, n_cols, nnz = 30, 9000, 1200
+    pairs = rs.choice(n_rows * n_cols, nnz, replace=False)
+    rows = (pairs // n_cols).astype(np.int32)
+    cols = (pairs % n_cols).astype(np.int32)
+    full = pack_seen_bits(rows, cols, n_rows, n_cols)
+    drop = rs.choice(nnz, 100, replace=False)
+    keep = np.setdiff1d(np.arange(nnz), drop)
+    want = pack_seen_bits(rows[keep], cols[keep], n_rows, n_cols)
+    got = clear_seen_bits_device(jnp.asarray(full),
+                                 jnp.asarray(rows[drop]),
+                                 jnp.asarray(cols[drop]))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_kernel_tile_skip_with_duplicate_scores():
+    """Equal scores across tiles must keep the lowest-index tie rule
+    under tile_skip (a tying later tile is a skippable no-op)."""
+    n_users, n_items = 8, 512
+    proj = jnp.ones((n_users, 1), jnp.float32)
+    base = np.zeros((n_items, 1), np.float32)
+    base[:, 0] = np.tile([3.0, 1.0, 2.0, 2.0], n_items // 4)
+    items = jnp.asarray(base)
+    bits = jnp.zeros((n_users, n_items // 32), jnp.uint32)
+    got = np.asarray(fused_score_topk(proj, items, bits, 7,
+                                      filter_seen=False, tile_n=128,
+                                      tile_skip=True, interpret=INTERP))
+    ref = np.asarray(mask_and_topk(
+        proj @ items.T, jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32),
+        jnp.zeros(0, bool), 7, filter_seen=False, n_valid_cols=n_items))
     np.testing.assert_array_equal(got, ref)
 
 
