@@ -49,13 +49,16 @@ CACHE = "/tmp/polara_tpu_bench_ml10m_v1.npz"
 EXACT_CACHE = "/tmp/polara_tpu_bench_ml10m_v1_exact50.npz"
 
 
-def load_or_make_workload(seed=0):
+def load_or_make_workload(seed=0, device=False):
     """Calibrated ML-10M-geometry interactions, cached on disk.  The
     Gumbel-top-k generation runs on the accelerator
     (``make_realistic_coo_device``) — the (users × items) keying/sorting
-    is hopeless on the slow host CPU but takes seconds on device."""
+    is hopeless on the slow host CPU but takes seconds on device.
+    ``device=True`` regenerates on the accelerator and keeps the stream
+    there (zero host→device wire — the tunnel's bulk upload collapses
+    below 0.1 MB/s in bad epochs, measured r5)."""
     from polara_tpu.datasets.synthetic import load_or_make_ml10m
-    return load_or_make_ml10m(CACHE, seed=seed, log=log)
+    return load_or_make_ml10m(CACHE, seed=seed, log=log, device=device)
 
 
 def main():
@@ -66,6 +69,7 @@ def main():
     enable_compilation_cache()  # persists executables across runs
 
     log(f"devices: {jax.devices()}")
+    use_fused = jax.default_backend() == "tpu"
     rows, cols, vals = load_or_make_workload()
     nnz = len(rows)
     log(f"calibrated ML-10M: {nnz} events, {N_USERS}x{N_ITEMS}")
@@ -75,15 +79,31 @@ def main():
     from polara_tpu.ops.sparse import CooMatrix, dense_power_operator
     from polara_tpu.ops.topk import mask_and_topk
 
-    matrix = CooMatrix.from_numpy(rows, cols, vals, (N_USERS, N_ITEMS),
-                                  dtype=jnp.float32)
+    if use_fused:
+        # zero-wire staging: regenerate the seeded stream on device (the
+        # npz host copy above serves ARPACK + host-side checks) and
+        # spot-check identity
+        rows_d, cols_d, vals_d = load_or_make_workload(device=True)
+        stride = max(1, nnz // 64)
+        same = (np.array_equal(np.asarray(rows_d[::stride]),
+                               rows[::stride])
+                and np.array_equal(np.asarray(cols_d[::stride]),
+                                   cols[::stride])
+                and np.array_equal(np.asarray(vals_d[::stride]),
+                                   vals[::stride].astype(np.float32)))
+        log(f"device-regen vs npz identity spot-check (64 points): {same}")
+        if not same:  # pragma: no cover - cross-backend determinism break
+            log("falling back to host upload (regen diverged)")
+            matrix = CooMatrix.from_numpy(rows, cols, vals,
+                                          (N_USERS, N_ITEMS),
+                                          dtype=jnp.float32)
+            rows_d, cols_d, vals_d = matrix.rows, matrix.cols, matrix.vals
+        matrix = CooMatrix(rows_d, cols_d, vals_d, (N_USERS, N_ITEMS))
+    else:
+        matrix = CooMatrix.from_numpy(rows, cols, vals, (N_USERS, N_ITEMS),
+                                      dtype=jnp.float32)
     dense = jax.block_until_ready(matrix.to_dense())
     log(f"dense ratings resident in HBM: {dense.nbytes / 2**30:.2f} GiB")
-
-    # test data: every user is a test user; profiles are their training rows
-    plan = ChunkedTestData.build(rows, cols, vals, n_users=N_USERS,
-                                 n_items=N_ITEMS, budget_gb=4.0)
-    log(f"chunk plan: {len(plan.chunks)} chunks x {plan.chunk_users} users")
 
     def score_fn(params, chunk):
         v = params["item_factors"]
@@ -92,12 +112,21 @@ def main():
                                    num_segments=chunk.users.shape[0])
         return proj @ v.T
 
-    use_fused = jax.default_backend() == "tpu"
     log(f"scoring backend: {'pallas fused' if use_fused else 'xla'}")
 
     if use_fused:
-        from polara_tpu.ops.pallas import fused_score_topk
-        seen_bits = plan.seen_bits(0, N_ITEMS)  # native pack, part of plan
+        from polara_tpu.ops.pallas import (fused_score_topk,
+                                           pack_seen_bits_device)
+        seen_bits = pack_seen_bits_device(matrix.rows, matrix.cols,
+                                          N_USERS, N_ITEMS)
+        plan = None
+    else:
+        # test data: every user is a test user; profiles are their
+        # training rows (host plan only feeds the XLA fallback path)
+        plan = ChunkedTestData.build(rows, cols, vals, n_users=N_USERS,
+                                     n_items=N_ITEMS, budget_gb=4.0)
+        log(f"chunk plan: {len(plan.chunks)} chunks x "
+            f"{plan.chunk_users} users")
     proj_mm = jax.jit(lambda d, v: d @ v)
     to_i16 = jax.jit(lambda r: r.astype(jnp.int16))
 
@@ -140,6 +169,8 @@ def main():
             raise
         log(f"pallas backend failed ({err!r}); falling back to xla")
         use_fused = False
+        plan = ChunkedTestData.build(rows, cols, vals, n_users=N_USERS,
+                                     n_items=N_ITEMS, budget_gb=4.0)
         t0 = time.perf_counter()
         result, recs = build_and_score(dense)
     log(f"warm-up (incl. compile): {time.perf_counter() - t0:.2f}s; "
@@ -173,20 +204,29 @@ def main():
     # same score as the reference pick in the same slot.
     fused_ok = None
     if use_fused:
-        sel = rows < VERIFY_USERS
-        scores = jnp.asarray(dense[:VERIFY_USERS]) @ result.v @ result.v.T
+        # rows are sorted, so the first VERIFY_USERS users' events are a
+        # prefix of the device stream — no event upload, scalars down
+        n_sel = int(jnp.searchsorted(matrix.rows, VERIFY_USERS))
         xla_recs = mask_and_topk(
-            scores, jnp.asarray(rows[sel], jnp.int32),
-            jnp.asarray(cols[sel], jnp.int32),
-            jnp.ones(int(sel.sum()), bool), TOPK, filter_seen=True,
+            dense[:VERIFY_USERS] @ result.v @ result.v.T,
+            matrix.rows[:n_sel], matrix.cols[:n_sel],
+            jnp.ones(n_sel, bool), TOPK, filter_seen=True,
             n_valid_cols=N_ITEMS)
-        s_xla = np.take_along_axis(np.asarray(scores),
-                                   np.asarray(xla_recs), axis=1)
-        s_fused = np.take_along_axis(np.asarray(scores),
-                                     recs[:VERIFY_USERS], axis=1)
-        scale = max(float(np.abs(s_xla).max()), 1e-6)
-        max_gap = float(np.abs(s_xla - s_fused).max()) / scale
-        exact = float((np.asarray(xla_recs) == recs[:VERIFY_USERS]).mean())
+
+        @jax.jit
+        def fused_gap(dense_head, v, xla_recs, fused_recs):
+            scores = dense_head @ v @ v.T
+            s_xla = jnp.take_along_axis(scores, xla_recs, axis=1)
+            s_fused = jnp.take_along_axis(scores, fused_recs, axis=1)
+            scale = jnp.maximum(jnp.max(jnp.abs(s_xla)), 1e-6)
+            gap = jnp.max(jnp.abs(s_xla - s_fused)) / scale
+            agree = jnp.mean((xla_recs == fused_recs).astype(jnp.float32))
+            return jnp.stack([gap, agree])
+
+        gap_agree = np.asarray(fused_gap(
+            dense[:VERIFY_USERS], result.v, xla_recs,
+            jnp.asarray(recs[:VERIFY_USERS])))
+        max_gap, exact = float(gap_agree[0]), float(gap_agree[1])
         fused_ok = bool(max_gap < 1e-3)
         log(f"fused vs xla on {VERIFY_USERS} users: exact agreement "
             f"{exact:.4f}, max relative score gap {max_gap:.2e} "
@@ -198,7 +238,8 @@ def main():
     # TPU f32 factors and an exact f64 ARPACK factorization (the
     # reference's solver, ``polara/recommender/models.py:844``) of the
     # SAME held-out split, both scored through the SAME device path.
-    exact = exact_factor_study(dense, rows, cols, vals, use_fused)
+    exact = exact_factor_study(dense, rows, cols, vals, use_fused,
+                               seen_bits if use_fused else None)
 
     print(json.dumps({
         "metric": "ml10m_puresvd50_build_plus_score_top10",
@@ -246,7 +287,8 @@ def _exact_reference_v(rows, cols, vals, hold_mask):
     return v, s
 
 
-def exact_factor_study(dense, rows, cols, vals, use_fused):
+def exact_factor_study(dense, rows, cols, vals, use_fused,
+                       full_bits=None):
     import jax
     import jax.numpy as jnp
 
@@ -272,9 +314,13 @@ def exact_factor_study(dense, rows, cols, vals, use_fused):
     # constant of this size would be baked into the executable and
     # stall compilation (repo convention, CLAUDE.md)
     if use_fused:
-        from polara_tpu.ops.pallas import fused_score_topk, pack_seen_bits
-        bits = jnp.asarray(pack_seen_bits(rows[keep], cols[keep],
-                                          N_USERS, N_ITEMS))
+        from polara_tpu.ops.pallas import (clear_seen_bits_device,
+                                           fused_score_topk)
+        # train-split bitmask = full-stream bitmask with the held-out
+        # bits cleared on device — zero wire beyond the (n_users,) ids
+        bits = clear_seen_bits_device(
+            full_bits, jnp.asarray(hold_users.astype(np.int32)),
+            jnp.asarray(hold_items.astype(np.int32)))
 
         def recs_for(train, v_panel, bits):
             proj = train @ v_panel

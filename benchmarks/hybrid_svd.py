@@ -31,18 +31,19 @@ def log(*args):
 
 
 def main():
-    rows, cols, vals = load_or_make_ml10m(log=log)
-    coo = CooMatrix.from_numpy(rows, cols, vals, (N_USERS, N_ITEMS),
-                               dtype=jnp.float32)
+    rows_d, cols_d, vals_d = load_or_make_ml10m(log=log, device=True)
+    coo = CooMatrix(rows_d, cols_d, vals_d, (N_USERS, N_ITEMS))
 
-    # synthetic PSD item similarity with unit diagonal
-    rs = np.random.RandomState(0)
-    base = rs.randn(N_ITEMS, 32).astype(np.float32)
+    # synthetic PSD item similarity with unit diagonal — built ON DEVICE
+    # (the (n_items, n_items) f32 block is 435 MB; uploading it rides the
+    # tunnel's unreliable bulk direction, measured r5)
+    import jax
+    base = jax.random.normal(jax.random.key(0), (N_ITEMS, 32),
+                             jnp.float32)
     sim = base @ base.T
-    diag = np.sqrt(np.diag(sim))
+    diag = jnp.sqrt(jnp.diagonal(sim))
     sim = 0.5 * sim / diag[:, None] / diag[None, :]
-    np.fill_diagonal(sim, 1.0)
-    sim_dev = jnp.asarray(sim)
+    sim_dev = jnp.fill_diagonal(sim, 1.0, inplace=False)
 
     def build(seed):
         # host copies (np.asarray) are the synchronization points: through

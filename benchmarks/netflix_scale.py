@@ -1,23 +1,33 @@
 """Netflix-prize scale (480,189 x 17,770, ~100M events): PureSVD rank-50
-built and every user scored top-10 on ONE chip, through the tile-aligned
-streaming COO operator.
+built and every user scored top-10 on ONE chip, through the beyond-HBM
+streaming operators — the shipped default split-head route (Zipf head as
+a dense int8 MXU block + tile-aligned tail) A/B'd against the plain
+tile-aligned route in the SAME process.
 
 Why this benchmark exists: the dense rating block at this geometry is
 ~32 GiB f32 — past a single chip's HBM — so the dense fast path that
 carries the ML-10M headline cannot run.  This is the scale tier the
 reference handles by keeping scipy CSR on the host
 (``polara/lib/sparse.py:35-141``) and paying ARPACK minutes; here the
-event stream lives in HBM as tile-aligned panels
-(``ops/sparse.py:tiled_coo_operator``) and every pass is a scan of
-gather + batched tile contraction + per-tile segment_sum — measured
-2.6x faster per pass than the event-scatter chunked operator (0.793 s
-vs 2.041 s per mm+rmm roundtrip at width 100 on chip).  Seen-item
-masking packs on device (one scatter-add) because uploading a ~1.2 GB
-host-packed panel through a slow link would dominate.
+event stream lives in HBM (``ops/sparse.py:split_coo_operator`` /
+``tiled_coo_operator``).
+
+Staging is ZERO-WIRE: the calibrated workload regenerates on the device
+(seeded, deterministic — identity vs the npz cache is spot-checked), so
+no part of the 392 MB compressed event upload rides the tunnel, whose
+bulk rate collapses below 1 MB/s in bad epochs (measured r5: 512 s for
+the upload that costs ~13 s at nominal rate).
+
+Timing: the recorded value is DEVICE-COMPLETE time (build + fused
+score + top-10 panel materialized in HBM, synced through a corner
+slice), so the number measures the chip, not the tunnel epoch.  The
+full rec-panel pull (9.2 MB int16) is reported separately.  r4's 3.788 s
+figure included that pull (~0.3 s at the then-current wire rate).
 
 No published reference number exists for this workload, so
 ``vs_baseline`` is null; the self-checks (triplet residual, fused-vs-XLA
-pick agreement on a user slice) are the correctness evidence.
+pick agreement, exact-f64-factor metric study, split-vs-tiled overlap)
+are the correctness evidence.
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/netflix_scale.py
 
@@ -39,25 +49,36 @@ import jax.numpy as jnp
 
 from polara_tpu.datasets.synthetic import NETFLIX_GEOMETRY, load_or_make_netflix
 from polara_tpu.ops.rsvd import randomized_svd_krylov
-from polara_tpu.ops.sparse import tiled_coo_operator
+from polara_tpu.ops.sparse import split_coo_operator, tiled_coo_operator
 
 N_USERS = NETFLIX_GEOMETRY["n_users"]
 N_ITEMS = NETFLIX_GEOMETRY["n_items"]
 # Block-Krylov (Musco-Musco) is the right solver at this tier: every
-# pass over the 98M-event stream costs ~2.4s (mm+rmm), and Krylov
-# reaches a BETTER residual than 6-iteration subspace power in roughly
-# half the passes (measured A/B: krylov depth=3 7.97s/2.23e-3 vs
-# subspace n_iter=6 14.2s/2.48e-3, n_iter=4 10.2s/2.64e-3).  The dense
-# ML-10M headline keeps subspace iteration (there HBM passes are cheap
-# and its residual floor is lower).
+# pass over the 98M-event stream costs ~2.4s (mm+rmm) on the plain tiled
+# layout, and Krylov reaches a BETTER residual than 6-iteration subspace
+# power in roughly half the passes (measured A/B: krylov depth=3
+# 7.97s/2.23e-3 vs subspace n_iter=6 14.2s/2.48e-3, n_iter=4
+# 10.2s/2.64e-3).  The dense ML-10M headline keeps subspace iteration
+# (there HBM passes are cheap and its residual floor is lower).
 RANK, TOPK, KRYLOV_DEPTH = 50, 10, 3
 EVENT_CHUNK = 4_000_000
 VERIFY_USERS = 2048
+# 2 GiB head (P=4352, ~65% event coverage) fits next to the seen bitmask,
+# both tail sides, the event stream, and the staging transient on a
+# 16 GiB chip; 4 GiB was measured to OOM when anything else is resident.
+HEAD_GB = 2.0
 EXACT_CACHE = "/tmp/polara_tpu_bench_netflix_v1_exact50.npz"
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    """Device-complete sync through a corner slice (block_until_ready
+    does not synchronize through the tunnel; a 4-byte fetch that depends
+    on the full buffer does)."""
+    return np.asarray(x.ravel()[:1])
 
 
 def _holdout_split(rows, seed=7):
@@ -94,48 +115,49 @@ def _exact_reference_v(rows, cols, vals, hold_mask):
     return v
 
 
-def exact_factor_study(rows, cols, vals, use_fused):
+def stage_operator(kind, rows_d, cols_d, vals_d, head_gb=HEAD_GB):
+    t0 = time.perf_counter()
+    if kind == "split":
+        op = split_coo_operator(rows_d, cols_d, vals_d, (N_USERS, N_ITEMS),
+                                event_chunk=EVENT_CHUNK, assume_sorted=True,
+                                head_budget_gb=head_gb)
+        sync(op.operands[0][0])
+        if op.operands[1] is not None:
+            sync(op.operands[1][1])
+            sync(op.operands[2][1])
+    else:
+        op = tiled_coo_operator(rows_d, cols_d, vals_d, (N_USERS, N_ITEMS),
+                                event_chunk=EVENT_CHUNK, assume_sorted=True)
+        sync(op.operands[0][1])
+    dt = time.perf_counter() - t0
+    log(f"{kind} operator staged in {dt:.1f}s")
+    return op, dt
+
+
+def exact_factor_study(rows_d, cols_d, vals_train, bits, v_exact,
+                       hold_items, kinds):
     """Metric-level delta of the f32 streaming factorization vs an exact
     f64 ARPACK factorization of the same train split — the bench.py
-    north-star closure, at 10x the events (no dense block anywhere)."""
-    import jax.numpy as jnp
-    from polara_tpu.ops.rsvd import randomized_svd_krylov
-    from polara_tpu.ops.sparse import tiled_coo_operator
+    north-star closure, at 10x the events (no dense block anywhere).
+    Runs once per operator route; the exact side re-scores through the
+    same train operator so only the factors differ.
 
-    pick, hold_mask = _holdout_split(rows)
-    hold_items = cols[pick]
-    vals_train = vals.copy()
-    vals_train[pick] = 0.0          # zero-valued events contribute nothing
-    op_train = tiled_coo_operator(rows, cols, vals_train,
-                                  (N_USERS, N_ITEMS),
-                                  event_chunk=EVENT_CHUNK,
-                                  assume_sorted=True)
-    v_exact = _exact_reference_v(rows, cols, vals, hold_mask)
-    result = randomized_svd_krylov(op_train, RANK, depth=KRYLOV_DEPTH,
-                                   seed=0, dtype=jnp.float32)
+    Memory-lean by construction: the caller frees the headline
+    operators and the un-split value array first, the study head is
+    1 GiB (speed is irrelevant here), and scoring/metrics run as two
+    smaller programs instead of one — the chip exposes ~8 GiB usable
+    HBM and the full-size layout was measured to OOM.
+    """
+    from polara_tpu.ops.pallas import fused_score_topk
 
-    keep = ~hold_mask
-    if not use_fused:  # pragma: no cover - CPU would need a chunked top-k
-        raise SystemExit("exact study requires the fused TPU backend")
-    from polara_tpu.ops.pallas import (fused_score_topk,
-                                       pack_seen_bits_device)
-    bits = pack_seen_bits_device(jnp.asarray(rows[keep]),
-                                 jnp.asarray(cols[keep]),
-                                 N_USERS, N_ITEMS)
-
-    import jax
-
-    # NOTE: the operator and the bitmask travel as jit ARGUMENTS — as
-    # closure constants their ~3.5 GB would be baked into the program
-    # and stall lowering for minutes (repo convention, CLAUDE.md)
     @jax.jit
-    def study(op, bits, v_f32, v_ex, target):
-        def recs_for(v_panel):
-            proj = op.mm(v_panel)
-            return fused_score_topk(proj, v_panel, bits, TOPK,
-                                    filter_seen=True,
-                                    n_valid_cols=N_ITEMS)
+    def recs_for(op, bits, v_panel):
+        proj = op.mm(v_panel)
+        return fused_score_topk(proj, v_panel, bits, TOPK,
+                                filter_seen=True, n_valid_cols=N_ITEMS)
 
+    @jax.jit
+    def metrics(recs_a, recs_b, target):
         def hr_ndcg(recs, target):
             hit = recs == target
             found = hit.any(axis=1)
@@ -145,8 +167,6 @@ def exact_factor_study(rows, cols, vals, use_fused):
                 found, 1.0 / jnp.log2(1.0 + jnp.maximum(rank, 1)), 0.0))
             return hr, ndcg
 
-        recs_a = recs_for(v_f32)
-        recs_b = recs_for(v_ex)
         target = target[:, None]
         hr_a, ndcg_a = hr_ndcg(recs_a, target)
         hr_b, ndcg_b = hr_ndcg(recs_b, target)
@@ -155,49 +175,78 @@ def exact_factor_study(rows, cols, vals, use_fused):
             & (recs_a >= 0)[:, :, None], axis=(1, 2)) / TOPK)
         return jnp.stack([hr_a, ndcg_a, hr_b, ndcg_b, overlap])
 
-    out = np.asarray(study(op_train, bits, result.v,
-                           jnp.asarray(v_exact, jnp.float32),
-                           jnp.asarray(hold_items)))
-    hr_f32, ndcg_f32, hr_ex, ndcg_ex, overlap = (float(x) for x in out)
-    delta = max(abs(hr_f32 - hr_ex), abs(ndcg_f32 - ndcg_ex))
-    log(f"exact-factor study (1 held-out event/user): "
-        f"HR@{TOPK} f32={hr_f32:.5f} exact={hr_ex:.5f}; "
-        f"NDCG@{TOPK} f32={ndcg_f32:.5f} exact={ndcg_ex:.5f}; "
-        f"top-{TOPK} overlap {overlap:.5f}")
-    return {
-        "hr10_f32": round(hr_f32, 6),
-        "hr10_exact": round(hr_ex, 6),
-        "ndcg10_f32": round(ndcg_f32, 6),
-        "ndcg10_exact": round(ndcg_ex, 6),
-        "metric_delta_vs_exact": round(delta, 6),
-        "top10_overlap": round(overlap, 6),
-    }
+    v_ex_dev = jnp.asarray(v_exact, jnp.float32)
+    target_dev = jnp.asarray(hold_items.astype(np.int32))
+    out = {}
+    for kind in kinds:
+        # train-split operator for this route (holdout zeroed)
+        op_train, _ = stage_operator(kind, rows_d, cols_d, vals_train,
+                                     head_gb=1.0)
+        result = randomized_svd_krylov(op_train, RANK, depth=KRYLOV_DEPTH,
+                                       seed=0, dtype=jnp.float32)
+        recs_a = recs_for(op_train, bits, result.v)
+        recs_b = recs_for(op_train, bits, v_ex_dev)
+        del op_train, result
+        vec = np.asarray(metrics(recs_a, recs_b, target_dev))
+        hr_f32, ndcg_f32, hr_ex, ndcg_ex, overlap = (float(x) for x in vec)
+        delta = max(abs(hr_f32 - hr_ex), abs(ndcg_f32 - ndcg_ex))
+        log(f"[{kind}] exact-factor study (1 held-out event/user): "
+            f"HR@{TOPK} f32={hr_f32:.5f} exact={hr_ex:.5f}; "
+            f"NDCG@{TOPK} f32={ndcg_f32:.5f} exact={ndcg_ex:.5f}; "
+            f"top-{TOPK} overlap {overlap:.5f}")
+        out[kind] = {
+            "hr10_f32": round(hr_f32, 6),
+            "hr10_exact": round(hr_ex, 6),
+            "ndcg10_f32": round(ndcg_f32, 6),
+            "ndcg10_exact": round(ndcg_ex, 6),
+            "metric_delta_vs_exact": round(delta, 6),
+            "top10_overlap": round(overlap, 6),
+        }
+    return out
 
 
 def main():
     log(f"devices: {jax.devices()}")
-    rows, cols, vals = load_or_make_netflix(log=log)
-    nnz = len(rows)
-    log(f"calibrated Netflix: {nnz} events, {N_USERS}x{N_ITEMS} "
+    t_all = time.perf_counter()
+    rows_d, cols_d, vals_d = load_or_make_netflix(log=log, device=True)
+    sync(vals_d)
+    t_gen = time.perf_counter() - t_all
+    nnz = int(rows_d.shape[0])
+    log(f"calibrated Netflix regenerated on device: {nnz} events, "
+        f"{N_USERS}x{N_ITEMS} in {t_gen:.1f}s "
         f"(dense f32 would be {N_USERS * N_ITEMS * 4 / 2**30:.1f} GiB)")
 
-    t0 = time.perf_counter()
-    op = tiled_coo_operator(rows, cols, vals, (N_USERS, N_ITEMS),
-                            event_chunk=EVENT_CHUNK, assume_sorted=True)
-    n_chunks = op.operands[0][0].shape[0]
-    log(f"tiled operator resident: {n_chunks} chunks x "
-        f"{op.operands[0][0].shape[1]} events/side, row span "
-        f"{op.operands[0][4].shape[0]} "
-        f"({time.perf_counter() - t0:.1f}s to stage)")
+    # host copy for the ARPACK exact study + identity spot-check
+    rows_h = cols_h = vals_h = None
+    npz = "/tmp/polara_tpu_bench_netflix_v1.npz"
+    if os.path.exists(npz):
+        with np.load(npz) as blob:
+            rows_h, cols_h, vals_h = blob["rows"], blob["cols"], blob["vals"]
+        stride = max(1, nnz // 64)
+        probe = np.arange(0, nnz, stride)
+        same = (np.array_equal(np.asarray(rows_d[::stride]), rows_h[probe])
+                and np.array_equal(np.asarray(cols_d[::stride]),
+                                   cols_h[probe])
+                and np.array_equal(np.asarray(vals_d[::stride]),
+                                   vals_h[probe].astype(np.float32)))
+        log(f"device-regen vs npz identity spot-check (64 points): {same}")
+        if not same:
+            raise SystemExit("device regeneration diverged from the npz "
+                             "workload — exact study would be inconsistent")
 
     use_fused = jax.default_backend() == "tpu"
     log(f"scoring backend: {'pallas fused' if use_fused else 'xla topk'}")
-    if use_fused:
-        from polara_tpu.ops.pallas import fused_score_topk, pack_seen_bits_device
-        seen_bits = jax.block_until_ready(pack_seen_bits_device(
-            jnp.asarray(rows), jnp.asarray(cols), N_USERS, N_ITEMS))
-        log(f"seen bitmask packed on device: "
-            f"{seen_bits.nbytes / 2**30:.2f} GiB")
+    if not use_fused:
+        raise SystemExit("netflix_scale requires the fused TPU backend")
+    from polara_tpu.ops.pallas import fused_score_topk, pack_seen_bits_device
+    seen_bits = pack_seen_bits_device(rows_d, cols_d, N_USERS, N_ITEMS)
+    sync(seen_bits)
+    log(f"seen bitmask packed on device: {seen_bits.nbytes / 2**30:.2f} GiB")
+
+    ops, staging = {}, {}
+    for kind in ("split", "tiled"):
+        ops[kind], staging[kind] = stage_operator(kind, rows_d, cols_d,
+                                                  vals_d)
 
     to_i16 = jax.jit(lambda r: r.astype(jnp.int16))
 
@@ -208,94 +257,156 @@ def main():
         # over qr(A z): A v = qb rb wt^T = u * s) — reusing it saves a
         # full width-RANK pass over the event stream (~0.4 s)
         proj = result.u * result.s[None, :]           # (users, rank)
-        if use_fused:
-            recs_dev = fused_score_topk(proj, result.v, seen_bits, TOPK,
-                                        filter_seen=True,
-                                        n_valid_cols=N_ITEMS)
-            recs = np.asarray(to_i16(recs_dev)).astype(np.int32)
-        else:
-            from polara_tpu.ops.topk import mask_and_topk
-            scores = proj @ result.v.T
-            recs = np.asarray(mask_and_topk(
-                scores, jnp.asarray(rows, jnp.int32),
-                jnp.asarray(cols, jnp.int32),
-                jnp.ones(nnz, bool), TOPK, filter_seen=True,
-                n_valid_cols=N_ITEMS))
-        return result, proj, recs
+        recs_dev = to_i16(fused_score_topk(proj, result.v, seen_bits, TOPK,
+                                           filter_seen=True,
+                                           n_valid_cols=N_ITEMS))
+        return result, proj, recs_dev
 
-    t0 = time.perf_counter()
-    result, proj, recs = build_and_score(op)
-    log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s; "
-        f"recs shape {recs.shape}")
-
-    def perturb(operator, delta):
-        """Perturb one event value so async dispatch cannot fake the
-        timing (operands are ((row_side), (col_side)) 5-tuples)."""
-        row_side, col_side = operator.operands
-        mc, vc, lo, st, pr = row_side
-        row_side = (mc, vc.at[0, 0].add(jnp.asarray(delta, vc.dtype)),
-                    lo, st, pr)
-        return type(operator)(shape=operator.shape, mm_fn=operator.mm_fn,
-                              rmm_fn=operator.rmm_fn,
-                              operands=(row_side, col_side),
-                              dtype=operator.dtype)
-
-    timings = []
-    for i in range(3):
+    warm = {}
+    for kind, op in ops.items():
         t0 = time.perf_counter()
-        # the perturbed operator exists only to defeat caching; its
-        # results are discarded — self-checks below use the warm-up
-        # build on the pristine operator (perturb touches only the
-        # row-side panel, so mm/rmm would describe slightly different
-        # matrices)
-        build_and_score(perturb(op, 1e-3 * (i + 1)))
-        timings.append(time.perf_counter() - t0)
-        log(f"run {i}: {timings[-1]:.2f}s")
-    best = min(timings)
-    log(f"users/sec at top-{TOPK} (incl. factorization): "
-        f"{N_USERS / best:,.0f}")
+        warm[kind] = build_and_score(op)
+        sync(warm[kind][2])
+        log(f"[{kind}] warm-up (incl. compile): "
+            f"{time.perf_counter() - t0:.1f}s")
 
-    # triplet residual through the streaming operator
-    av = op.mm(result.v)
-    resid = av - result.u * result.s[None, :]
-    accuracy = float(jnp.max(jnp.linalg.norm(resid, axis=0) / result.s[0]))
-    log(f"max triplet residual |A v - s u| / s_1: {accuracy:.2e}")
+    def perturb(op, delta):
+        """Perturb one tail-side event value so async dispatch cannot
+        fake the timing.  Both operator layouts keep a row-side 5-tuple
+        whose [1] is the value panel."""
+        if op.mm_fn.__name__ == "_split_mm":
+            head, row_side, col_side = op.operands
+            mc, vc, lo, st, pr = row_side
+            row_side = (mc, vc.at[0, 0].add(jnp.asarray(delta, vc.dtype)),
+                        lo, st, pr)
+            operands = (head, row_side, col_side)
+        else:
+            row_side, col_side = op.operands
+            mc, vc, lo, st, pr = row_side
+            row_side = (mc, vc.at[0, 0].add(jnp.asarray(delta, vc.dtype)),
+                        lo, st, pr)
+            operands = (row_side, col_side)
+        return type(op)(shape=op.shape, mm_fn=op.mm_fn, rmm_fn=op.rmm_fn,
+                        operands=operands, dtype=op.dtype)
 
-    fused_ok = None
-    if use_fused:
+    # interleaved A/B: the tunnel's epoch drift cannot favour one route
+    timings = {"split": [], "tiled": []}
+    for i in range(3):
+        for kind, op in ops.items():
+            t0 = time.perf_counter()
+            _, _, recs_dev = build_and_score(perturb(op, 1e-3 * (i + 1)))
+            sync(recs_dev)
+            timings[kind].append(time.perf_counter() - t0)
+            log(f"run {i} {kind}: {timings[kind][-1]:.2f}s")
+    best = {k: min(v) for k, v in timings.items()}
+    log(f"device-complete best: split {best['split']:.3f}s, "
+        f"tiled {best['tiled']:.3f}s")
+    log(f"users/sec at top-{TOPK} (incl. factorization, split): "
+        f"{N_USERS / best['split']:,.0f}")
+
+    # one full rec-panel pull, reported separately (wire-dependent)
+    t0 = time.perf_counter()
+    recs = np.asarray(warm["split"][2]).astype(np.int32)
+    t_pull = time.perf_counter() - t0
+    log(f"rec panel pull ({recs.nbytes // 2 / 2**20:.1f} MiB int16 wire): "
+        f"{t_pull:.2f}s")
+
+    checks = {}
+    for kind, (result, proj, recs_dev) in warm.items():
+        # triplet residual through this route's streaming operator
+        av = ops[kind].mm(result.v)
+        resid = av - result.u * result.s[None, :]
+        accuracy = float(jnp.max(jnp.linalg.norm(resid, axis=0)
+                                 / result.s[0]))
+        # fused vs xla pick agreement on a user slice, computed on device
+        # (rows are sorted, so the first VERIFY_USERS users' events are a
+        # prefix — one scalar sync fixes its static length)
         from polara_tpu.ops.topk import mask_and_topk
-        sel = rows < VERIFY_USERS
-        scores = proj[:VERIFY_USERS] @ result.v.T
-        xla_recs = mask_and_topk(
-            scores, jnp.asarray(rows[sel], jnp.int32),
-            jnp.asarray(cols[sel], jnp.int32),
-            jnp.ones(int(sel.sum()), bool), TOPK, filter_seen=True,
-            n_valid_cols=N_ITEMS)
-        s_xla = np.take_along_axis(np.asarray(scores),
-                                   np.asarray(xla_recs), axis=1)
-        s_fused = np.take_along_axis(np.asarray(scores),
-                                     recs[:VERIFY_USERS], axis=1)
-        scale = max(float(np.abs(s_xla).max()), 1e-6)
-        max_gap = float(np.abs(s_xla - s_fused).max()) / scale
+        n_sel = int(jnp.searchsorted(rows_d, VERIFY_USERS))
+        sub_rows = rows_d[:n_sel]
+        sub_cols = cols_d[:n_sel]
+
+        @jax.jit
+        def fused_gap(proj, v, recs_dev, sub_rows, sub_cols):
+            scores = proj[:VERIFY_USERS] @ v.T
+            xla_recs = mask_and_topk(
+                scores, sub_rows, sub_cols,
+                jnp.ones(sub_rows.shape[0], bool), TOPK,
+                filter_seen=True, n_valid_cols=N_ITEMS)
+            s_xla = jnp.take_along_axis(scores, xla_recs, axis=1)
+            s_fused = jnp.take_along_axis(
+                scores, recs_dev[:VERIFY_USERS].astype(jnp.int32), axis=1)
+            scale = jnp.maximum(jnp.max(jnp.abs(s_xla)), 1e-6)
+            return jnp.max(jnp.abs(s_xla - s_fused)) / scale
+
+        max_gap = float(fused_gap(proj, result.v, recs_dev, sub_rows,
+                                  sub_cols))
         fused_ok = bool(max_gap < 1e-3)
-        log(f"fused vs xla on {VERIFY_USERS} users: max relative score "
-            f"gap {max_gap:.2e} -> fused_ok={fused_ok}")
+        log(f"[{kind}] triplet residual {accuracy:.2e}; fused vs xla on "
+            f"{VERIFY_USERS} users: max relative score gap {max_gap:.2e} "
+            f"-> fused_ok={fused_ok}")
+        checks[kind] = {"accuracy": round(accuracy, 6),
+                        "fused_ok": fused_ok}
 
-    exact = exact_factor_study(rows, cols, vals, use_fused) \
-        if use_fused else {}
+    # split vs tiled route agreement (same seed, different float paths)
+    r_s, r_t = warm["split"][0], warm["tiled"][0]
+    s_gap = float(jnp.max(jnp.abs(r_s.s - r_t.s) / r_t.s[0]))
+    route_overlap = float(jnp.mean(jnp.sum(
+        (warm["split"][2][:, :, None].astype(jnp.int32)
+         == warm["tiled"][2][:, None, :].astype(jnp.int32))
+        & (warm["split"][2] >= 0)[:, :, None].astype(bool),
+        axis=(1, 2)) / TOPK))
+    log(f"split vs tiled: singular gap {s_gap:.2e}, "
+        f"top-{TOPK} overlap {route_overlap:.5f}")
 
-    print(json.dumps({
+    exact = {}
+    if rows_h is not None:
+        # the HEADLINE operators, warm factor panels, and the un-split
+        # value array must be freed before the study stages its
+        # train-split operators — the chip exposes ~8 GiB usable HBM and
+        # keeping them resident was measured to OOM
+        from polara_tpu.ops.pallas import clear_seen_bits_device
+        kinds = tuple(ops.keys())
+        pick, hold_mask = _holdout_split(rows_h)
+        hold_items = cols_h[pick]
+        hold_users = rows_h[pick]
+        vals_train = vals_d.at[jnp.asarray(pick.astype(np.int32))].set(0.0)
+        bits_study = clear_seen_bits_device(
+            seen_bits, jnp.asarray(hold_users.astype(np.int32)),
+            jnp.asarray(hold_items.astype(np.int32)))
+        v_exact = _exact_reference_v(rows_h, cols_h, vals_h, hold_mask)
+        del ops, warm, vals_d, seen_bits
+        exact = exact_factor_study(rows_d, cols_d, vals_train, bits_study,
+                                   v_exact, hold_items, kinds)
+
+    payload = {
         "metric": "netflix_puresvd50_build_plus_score_top10",
-        "value": round(best, 3),
+        "value": round(best["split"], 3),
         "unit": "s",
         "vs_baseline": None,
-        "accuracy": round(accuracy, 6),
-        "fused_ok": fused_ok,
+        "timing": "device_complete_sync (rec panel resident in HBM; "
+                  "full pull reported separately)",
+        "operator": "split_head_int8",
+        "head_budget_gb": HEAD_GB,
         "nnz": nnz,
-        "users_per_sec": round(N_USERS / best),
+        "users_per_sec": round(N_USERS / best["split"]),
         "dense_f32_gib": round(N_USERS * N_ITEMS * 4 / 2**30, 1),
-        **exact,
-    }))
+        "device_regen_s": round(t_gen, 1),
+        "staging_s": {k: round(v, 1) for k, v in staging.items()},
+        "rec_panel_pull_s": round(t_pull, 2),
+        "tiled_value": round(best["tiled"], 3),
+        "split_vs_tiled_singular_gap": round(s_gap, 8),
+        "split_vs_tiled_top10_overlap": round(route_overlap, 6),
+        **{f"{k}_{kk}": vv for k, c in checks.items()
+           for kk, vv in c.items()},
+    }
+    for kind, study_row in exact.items():
+        payload.update({f"{kind}_{kk}": vv for kk, vv in study_row.items()})
+    # headline-compat fields mirror the default (split) route
+    payload.update(exact.get("split", {}))
+    payload["accuracy"] = checks["split"]["accuracy"]
+    payload["fused_ok"] = checks["split"]["fused_ok"]
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

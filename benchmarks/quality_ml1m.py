@@ -39,8 +39,8 @@ import test_reference_parity as refshim  # noqa: E402
 
 from polara_tpu.data import RecommenderData  # noqa: E402
 from polara_tpu.datasets.synthetic import load_or_make_ml1m  # noqa: E402
-from polara_tpu.models import (CooccurrenceModel, PopularityModel,  # noqa: E402
-                               RandomModel, SVDModel)
+from polara_tpu.models import (CoffeeModel, CooccurrenceModel,  # noqa: E402
+                               PopularityModel, RandomModel, SVDModel)
 
 # reference README.md:117-123 (real ML-1M, 5-fold CV)
 PUBLISHED = {
@@ -89,11 +89,16 @@ def main():
     ref_svd.verbose = False
     models = {
         "PureSVD": SVDModel(our_data),
+        "CoFFee": CoffeeModel(our_data),
         "item-to-item": CooccurrenceModel(our_data),
         "MP": PopularityModel(our_data),
         "RND": RandomModel(our_data, seed=0),
     }
     models["PureSVD"].rank = RANK
+    # the reference tutorial's ML-1M CoFFee configuration
+    # (Example_ML1M.ipynb); no published recall row exists for it, so it
+    # reports next to the published-model columns without one
+    models["CoFFee"].mlrank = (13, 10, 2)
     for model in models.values():
         model.verbose = False
 
@@ -125,9 +130,11 @@ def main():
                     for k, vals_k in by_k.items()}
              for name, by_k in recalls.items()}
     # the published ordering must reproduce: personalized > neighborhood-
-    # or-popularity > random floor
+    # or-popularity > random floor; the tensor model must also clear the
+    # popularity bar (reference Example_ML1M.ipynb structure)
     assert table["PureSVD"]["recall@10"] > table["MP"]["recall@10"] \
         > table["RND"]["recall@10"]
+    assert table["CoFFee"]["recall@10"] > table["MP"]["recall@10"]
 
     print(json.dumps({
         "metric": "ml1m_quality_cv_recall10_puresvd",

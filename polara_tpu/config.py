@@ -61,7 +61,12 @@ _DEFAULTS: Dict[str, Any] = dict(
     # budgeted separately from the score block; the split declines
     # automatically when item margins are too flat to pay.
     streaming_split_head=True,
-    streaming_head_gb=4.0,
+    # 2 GiB head = P=4352 / ~65% event coverage at Netflix geometry —
+    # measured r5 on chip: build+score 1.745s vs 3.610s tiled (2.07x,
+    # benchmarks/results_r05.json), while a 4 GiB head OOMs once the
+    # seen bitmask and factor panels are resident next to it (the
+    # benchmark chip exposes ~8 GiB usable HBM)
+    streaming_head_gb=2.0,
 )
 
 

@@ -181,8 +181,10 @@ class SVDModel(RecommenderModel):
                     # pass than the event-scatter chunked operator —
                     # with the Zipf head of the stream lifted into a
                     # dense MXU block when item margins are skewed
-                    # enough to pay (measured on chip at Netflix scale,
-                    # see docs/PERFORMANCE.md)
+                    # enough to pay (measured r5 on chip at Netflix
+                    # scale: build+score 1.745s split vs 3.610s tiled,
+                    # recorded in benchmarks/results_r05.json and
+                    # docs/PERFORMANCE.md)
                     if defaults.get_default("streaming_split_head"):
                         svd_matrix = matrix.split_operator(
                             head_budget_gb=defaults.get_default(
