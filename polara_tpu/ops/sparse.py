@@ -18,12 +18,34 @@ the randomized SVD and the scoring pipeline.
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
+import time
 from functools import partial
 from typing import Callable, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def _stage_prof(label: str, t_prev: float, *sync_arrays) -> float:
+    """Staging phase profiler, enabled by ``POLARA_STAGING_PROFILE=1``.
+
+    Syncs the given device arrays through a 4-byte corner fetch (the
+    tunnel's ``block_until_ready`` does not synchronize — CLAUDE.md) and
+    logs the elapsed phase time to stderr.  Off by default: returns
+    ``t_prev`` untouched so un-profiled staging stays fully async.
+    """
+    if not os.environ.get("POLARA_STAGING_PROFILE"):
+        return t_prev
+    for a in sync_arrays:
+        if a is not None:
+            np.asarray(jax.numpy.ravel(a)[:1])
+    now = time.perf_counter()
+    print(f"      [stage] {label}: {now - t_prev:.2f}s",
+          file=sys.stderr, flush=True)
+    return now
 
 
 # --------------------------------------------------------------------------
@@ -599,16 +621,20 @@ def tiled_coo_operator(rows, cols, vals, shape: Tuple[int, int],
         raise ValueError("empty matrix")
     if tile < 1:
         raise ValueError("tile must be positive")
+    tp = time.perf_counter()
     rows, cols, vals, rows_sorted = _upload_event_stream(
         rows, cols, vals, shape, dtype, assume_sorted)
     if not rows_sorted and not bool(jnp.all(jnp.diff(rows) >= 0)):
         order = jnp.argsort(rows, stable=True)
         rows, cols, vals = rows[order], cols[order], vals[order]
     m, n = (int(s) for s in shape)
+    tp = _stage_prof("upload/sort", tp, rows, cols, vals)
     row_side = _stage_tiled_side(rows, cols, vals, m, event_chunk, tile)
+    tp = _stage_prof("row side", tp, row_side[0], row_side[1])
     corder = jnp.argsort(cols, stable=True)
     col_side = _stage_tiled_side(cols[corder], rows[corder], vals[corder],
                                  n, event_chunk, tile)
+    tp = _stage_prof("col side", tp, col_side[0], col_side[1])
     return MatmulOperator(shape=(m, n), mm_fn=_tiled_mm,
                           rmm_fn=_tiled_rmm,
                           operands=(row_side, col_side), dtype=vals.dtype)
@@ -779,15 +805,18 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
         raise ValueError("empty matrix")
     if tile < 1:
         raise ValueError("tile must be positive")
+    tp = time.perf_counter()
     rows, cols, vals, rows_sorted = _upload_event_stream(
         rows, cols, vals, shape, dtype, assume_sorted)
     if not rows_sorted and not bool(jnp.all(jnp.diff(rows) >= 0)):
         order = jnp.argsort(rows, stable=True)
         rows, cols, vals = rows[order], cols[order], vals[order]
     m, n = (int(s) for s in shape)
+    tp = _stage_prof("upload/sort", tp, rows, cols, vals)
 
     int8_ok = bool(jnp.all((vals == jnp.round(vals))
                            & (jnp.abs(vals) <= 127.0)))
+    tp = _stage_prof("int8 check", tp)
     d_dtype = jnp.int8 if int8_ok else dtype
     br = min(head_block_rows, m)
     n_blocks = -(-m // br)
@@ -823,6 +852,7 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
     else:
         head_ids = jnp.arange(n, dtype=jnp.int32)
         n_head, n_tail = nnz, 0
+    tp = _stage_prof("head selection", tp)
 
     head_pos = jnp.zeros((n,), jnp.int32).at[head_ids].set(
         jnp.arange(p, dtype=jnp.int32))
@@ -831,6 +861,7 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
         hr, hc, hv = rows[hidx], cols[hidx], vals[hidx]
     else:
         hr, hc, hv = rows, cols, vals
+    tp = _stage_prof("head gather", tp, hr, hc, hv)
 
     hp = head_pos[hc]
     d = build_head_block(hr, hp, hv, m_pad, p, dtype,
@@ -838,14 +869,18 @@ def split_coo_operator(rows, cols, vals, shape: Tuple[int, int],
                          int8_ok=int8_ok,
                          _max_flat_cells=_max_flat_cells
                          ).reshape(n_blocks, br, p)
+    tp = _stage_prof("head block build", tp, d)
 
     if n_tail:
         tidx = jnp.nonzero(~mask, size=n_tail)[0]
         tr, tc, tv = rows[tidx], cols[tidx], vals[tidx]
+        tp = _stage_prof("tail gather", tp, tr, tc, tv)
         row_side = _stage_tiled_side(tr, tc, tv, m, event_chunk, tile)
+        tp = _stage_prof("tail row side", tp, row_side[0], row_side[1])
         corder = jnp.argsort(tc, stable=True)
         col_side = _stage_tiled_side(tc[corder], tr[corder], tv[corder],
                                      n, event_chunk, col_tile)
+        tp = _stage_prof("tail col side", tp, col_side[0], col_side[1])
     else:
         row_side = col_side = None
 
