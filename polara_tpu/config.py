@@ -55,6 +55,12 @@ _DEFAULTS: Dict[str, Any] = dict(
     # factor models when topk <= 128; True forces (interpret on CPU);
     # False always uses the XLA path
     pallas_scoring="auto",
+    # fused-backend item layout: "popularity" permutes the item panel to
+    # descending interaction count and arms the kernel's tile-skip merge
+    # guard (measured 1.5-1.8x on the scoring phase at ML-10M,
+    # benchmarks/tile_skip_ab.py; top-k set unchanged, equal-score ties
+    # resolve toward the popular item).  None keeps catalog order.
+    fused_item_order="popularity",
     # beyond-HBM streaming tier: route the Zipf head of the event stream
     # through a dense (users x P) block on the MXU instead of the gather
     # engine (ops/sparse.py:split_coo_operator).  The head block is

@@ -357,7 +357,8 @@ class RecommenderModel:
                 plan, type(self).proj_chunk, params, topk=self.topk,
                 filter_seen=self.filter_seen, n_valid_cols=plan.n_items,
                 interpret=not on_tpu,
-                device=self._scoring_device_output, mesh=mesh)
+                device=self._scoring_device_output, mesh=mesh,
+                item_order=defaults.get_default("fused_item_order"))
         return run_scoring(plan, type(self).score_chunk, params,
                            topk=self.topk, filter_seen=self.filter_seen,
                            n_valid_cols=plan.n_items, mesh=mesh,

@@ -240,3 +240,90 @@ def test_pack_seen_bits_device_parity(tile_n):
     np.testing.assert_array_equal(dev, host.astype(dev.dtype))
 
 
+
+
+# --------------------------------------------------------------------------
+# popularity-ordered item layout (run_scoring_fused item_order)
+# --------------------------------------------------------------------------
+
+def _plan_and_params(seed=11, n_users=30, n_items=500, rank=8):
+    """A ChunkedTestData plan + SVD-shaped params over random factors,
+    with Zipf-ish skewed item usage so the popularity permutation is
+    non-trivial."""
+    from polara_tpu.ops.scoring import ChunkedTestData
+    rs = np.random.RandomState(seed)
+    n_ev = 1200
+    rows = np.sort(rs.randint(0, n_users, n_ev)).astype(np.int64)
+    # skewed item margins: low ids much more frequent
+    cols = np.minimum((rs.pareto(1.2, n_ev) * 8).astype(np.int64),
+                      n_items - 1)
+    vals = rs.randint(1, 6, n_ev).astype(np.float64)
+    plan = ChunkedTestData.build(rows, cols, vals, n_users=n_users,
+                                 n_items=n_items)
+    v = jnp.asarray(rs.randn(n_items, rank), jnp.float32)
+    params = {"item_factors": v, "item_panel": v,
+              "test_users": jnp.arange(n_users, dtype=jnp.int32)}
+    return plan, params
+
+
+@pytest.mark.parametrize("filter_seen", [True, False])
+def test_item_order_popularity_matches_unordered(filter_seen):
+    """The popularity-ordered fused route returns the SAME top-k sets
+    (and, with continuous scores, the same ranked lists) as the plain
+    catalog-order route — the permutation is a layout change only."""
+    from polara_tpu.ops.scoring import run_scoring_fused
+
+    plan, params = _plan_and_params()
+    kw = dict(topk=10, filter_seen=filter_seen,
+              n_valid_cols=plan.n_items, interpret=INTERP)
+    base = run_scoring_fused(plan, SVDModel.proj_chunk, params, **kw)
+    ordered = run_scoring_fused(plan, SVDModel.proj_chunk, params,
+                                item_order="popularity", **kw)
+    np.testing.assert_array_equal(ordered, base)
+
+
+def test_item_order_tie_resolves_to_popular():
+    """Documented deviation: equal-score ties resolve toward the more
+    popular item under item_order='popularity' (catalog order resolves
+    to the lower item id)."""
+    from polara_tpu.ops.scoring import ChunkedTestData, run_scoring_fused
+
+    n_users, n_items = 4, 300
+    # every item has the IDENTICAL panel row -> all scores tie
+    panel = jnp.ones((n_items, 4), jnp.float32)
+    # item 250 is by far the most popular in the test profiles
+    rows = np.repeat(np.arange(n_users), 3).astype(np.int64)
+    cols = np.tile([250, 250, 250], n_users).astype(np.int64)
+    plan = ChunkedTestData.build(rows, cols,
+                                 np.ones(len(rows)), n_users=n_users,
+                                 n_items=n_items)
+    params = {"item_panel": panel,
+              "test_users": jnp.arange(n_users, dtype=jnp.int32)}
+
+    def proj_fn(params, chunk):
+        return jnp.ones((chunk.users.shape[0], 4), jnp.float32)
+
+    kw = dict(topk=3, filter_seen=False, n_valid_cols=n_items,
+              interpret=INTERP)
+    base = run_scoring_fused(plan, proj_fn, params, **kw)
+    ordered = run_scoring_fused(plan, proj_fn, params,
+                                item_order="popularity", **kw)
+    np.testing.assert_array_equal(base[0], [0, 1, 2])       # lowest ids
+    assert ordered[0][0] == 250                             # popular first
+
+
+def test_pop_order_identity_without_counts():
+    """Plans built without item counts fall back to the identity
+    ordering (and the fused route stays correct)."""
+    from polara_tpu.ops.scoring import run_scoring_fused
+
+    plan, params = _plan_and_params(seed=13)
+    plan.item_counts = None
+    perm, inv = plan.pop_order(plan.n_items)
+    np.testing.assert_array_equal(perm, np.arange(plan.n_items))
+    base = run_scoring_fused(plan, SVDModel.proj_chunk, params, topk=7,
+                             n_valid_cols=plan.n_items, interpret=INTERP)
+    ordered = run_scoring_fused(plan, SVDModel.proj_chunk, params, topk=7,
+                                n_valid_cols=plan.n_items, interpret=INTERP,
+                                item_order="popularity")
+    np.testing.assert_array_equal(ordered, base)
