@@ -117,7 +117,18 @@ def main():
     if use_fused:
         from polara_tpu.ops.pallas import (fused_score_topk,
                                            pack_seen_bits_device)
-        seen_bits = pack_seen_bits_device(matrix.rows, matrix.cols,
+        # popularity-ordered item layout + tile-skip merge guard:
+        # measured 1.51x on the scoring phase at this geometry
+        # (benchmarks/tile_skip_ab.py; top-k set unchanged).  The
+        # permutation depends only on the interaction counts, so it
+        # stages once, outside the timed region, like the seen bits.
+        counts = jax.ops.segment_sum(jnp.ones_like(matrix.vals),
+                                     matrix.cols, num_segments=N_ITEMS)
+        perm_dev = jnp.argsort(-counts).astype(jnp.int32)
+        inv_dev = jnp.zeros((N_ITEMS,), jnp.int32).at[perm_dev].set(
+            jnp.arange(N_ITEMS, dtype=jnp.int32))
+        seen_bits = pack_seen_bits_device(matrix.rows,
+                                          inv_dev[matrix.cols],
                                           N_USERS, N_ITEMS)
         plan = None
     else:
@@ -145,8 +156,12 @@ def main():
             # matmul (the per-event segment-sum scatter is the slow path)
             proj = proj_mm(ratings, result.v)
             recs_dev = fused_score_topk(
-                proj, result.v, seen_bits, TOPK, filter_seen=True,
-                n_valid_cols=N_ITEMS)
+                proj, jnp.take(result.v, perm_dev, axis=0), seen_bits,
+                TOPK, filter_seen=True, n_valid_cols=N_ITEMS,
+                tile_skip=True)
+            # map popularity-layout positions back to item ids (all
+            # N_ITEMS columns are valid here, so no PAD slots occur)
+            recs_dev = jnp.take(perm_dev, recs_dev)
             # ship ids as int16 (catalog < 32k; PAD_CONST=-1 fits) — the
             # top-10 panel is ~2.8MB at int32 and the device->host copy
             # is bandwidth-bound, so halving the wire format is real
@@ -239,7 +254,9 @@ def main():
     # reference's solver, ``polara/recommender/models.py:844``) of the
     # SAME held-out split, both scored through the SAME device path.
     exact = exact_factor_study(dense, rows, cols, vals, use_fused,
-                               seen_bits if use_fused else None)
+                               seen_bits if use_fused else None,
+                               perm=perm_dev if use_fused else None,
+                               inv=inv_dev if use_fused else None)
 
     print(json.dumps({
         "metric": "ml10m_puresvd50_build_plus_score_top10",
@@ -288,7 +305,11 @@ def _exact_reference_v(rows, cols, vals, hold_mask):
 
 
 def exact_factor_study(dense, rows, cols, vals, use_fused,
-                       full_bits=None):
+                       full_bits=None, perm=None, inv=None):
+    """``perm``/``inv``: the popularity layout of ``full_bits`` — the
+    whole study runs in permuted item space (panel rows, holdout ids,
+    and recommendations all mapped consistently), so the metric deltas
+    are unchanged by the layout."""
     import jax
     import jax.numpy as jnp
 
@@ -317,16 +338,26 @@ def exact_factor_study(dense, rows, cols, vals, use_fused,
         from polara_tpu.ops.pallas import (clear_seen_bits_device,
                                            fused_score_topk)
         # train-split bitmask = full-stream bitmask with the held-out
-        # bits cleared on device — zero wire beyond the (n_users,) ids
+        # bits cleared on device — zero wire beyond the (n_users,) ids.
+        # full_bits lives in the popularity layout, so the held-out
+        # item ids map through inv first.
+        hold_items_dev = jnp.asarray(hold_items.astype(np.int32))
+        if inv is not None:
+            hold_items_dev = jnp.take(inv, hold_items_dev)
         bits = clear_seen_bits_device(
             full_bits, jnp.asarray(hold_users.astype(np.int32)),
-            jnp.asarray(hold_items.astype(np.int32)))
+            hold_items_dev)
 
         def recs_for(train, v_panel, bits):
+            if perm is not None:
+                v_scores = jnp.take(v_panel, perm, axis=0)
+            else:
+                v_scores = v_panel
             proj = train @ v_panel
-            return fused_score_topk(proj, v_panel, bits, TOPK,
+            return fused_score_topk(proj, v_scores, bits, TOPK,
                                     filter_seen=True,
-                                    n_valid_cols=N_ITEMS)
+                                    n_valid_cols=N_ITEMS,
+                                    tile_skip=perm is not None)
     else:
         from polara_tpu.ops.topk import mask_and_topk
         bits = (jnp.asarray(rows[keep], jnp.int32),
@@ -360,9 +391,12 @@ def exact_factor_study(dense, rows, cols, vals, use_fused,
             & (recs_a >= 0)[:, :, None], axis=(1, 2)) / TOPK)
         return jnp.stack([hr_a, ndcg_a, hr_b, ndcg_b, overlap])
 
+    target = jnp.asarray(hold_items)
+    if use_fused and inv is not None:
+        target = jnp.take(inv, target)   # recs are in the pop layout
     out = np.asarray(study(dense_train, result.v,
                            jnp.asarray(v_exact, jnp.float32), bits,
-                           jnp.asarray(hold_items)))
+                           target))
     hr_f32, ndcg_f32, hr_ex, ndcg_ex, overlap = (float(x) for x in out)
     delta = max(abs(hr_f32 - hr_ex), abs(ndcg_f32 - ndcg_ex))
     log(f"exact-factor study (1 held-out event/user): "

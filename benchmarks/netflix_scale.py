@@ -135,12 +135,17 @@ def stage_operator(kind, rows_d, cols_d, vals_d, head_gb=HEAD_GB):
 
 
 def exact_factor_study(rows_d, cols_d, vals_train, bits, v_exact,
-                       hold_items, kinds):
+                       hold_items, kinds, perm=None, inv=None):
     """Metric-level delta of the f32 streaming factorization vs an exact
     f64 ARPACK factorization of the same train split — the bench.py
     north-star closure, at 10x the events (no dense block anywhere).
     Runs once per operator route; the exact side re-scores through the
     same train operator so only the factors differ.
+
+    ``perm``/``inv``: the popularity layout of ``bits`` — the study runs
+    entirely in permuted item space (panel rows, holdout targets), so
+    only ONE bitmask stays resident (a second, unpermuted copy is
+    another ~1.1 GiB the study's HBM budget does not have).
 
     Memory-lean by construction: the caller frees the headline
     operators and the un-split value array first, the study head is
@@ -153,8 +158,11 @@ def exact_factor_study(rows_d, cols_d, vals_train, bits, v_exact,
     @jax.jit
     def recs_for(op, bits, v_panel):
         proj = op.mm(v_panel)
-        return fused_score_topk(proj, v_panel, bits, TOPK,
-                                filter_seen=True, n_valid_cols=N_ITEMS)
+        v_scores = v_panel if perm is None else jnp.take(v_panel, perm,
+                                                         axis=0)
+        return fused_score_topk(proj, v_scores, bits, TOPK,
+                                filter_seen=True, n_valid_cols=N_ITEMS,
+                                tile_skip=perm is not None)
 
     @jax.jit
     def metrics(recs_a, recs_b, target):
@@ -177,6 +185,8 @@ def exact_factor_study(rows_d, cols_d, vals_train, bits, v_exact,
 
     v_ex_dev = jnp.asarray(v_exact, jnp.float32)
     target_dev = jnp.asarray(hold_items.astype(np.int32))
+    if inv is not None:
+        target_dev = jnp.take(inv, target_dev)  # recs are in pop layout
     out = {}
     for kind in kinds:
         # train-split operator for this route (holdout zeroed)
@@ -239,9 +249,20 @@ def main():
     if not use_fused:
         raise SystemExit("netflix_scale requires the fused TPU backend")
     from polara_tpu.ops.pallas import fused_score_topk, pack_seen_bits_device
-    seen_bits = pack_seen_bits_device(rows_d, cols_d, N_USERS, N_ITEMS)
+    # popularity-ordered item layout + tile-skip merge guard: measured
+    # 1.5-1.8x on the VPU-select-bound scoring phase at ML-10M geometry
+    # (benchmarks/tile_skip_ab.py); the permutation depends only on the
+    # interaction counts, so it stages once, like the seen bits.
+    counts = jax.ops.segment_sum(jnp.ones_like(vals_d), cols_d,
+                                 num_segments=N_ITEMS)
+    perm_dev = jnp.argsort(-counts).astype(jnp.int32)
+    inv_dev = jnp.zeros((N_ITEMS,), jnp.int32).at[perm_dev].set(
+        jnp.arange(N_ITEMS, dtype=jnp.int32))
+    seen_bits = pack_seen_bits_device(rows_d, jnp.take(inv_dev, cols_d),
+                                      N_USERS, N_ITEMS)
     sync(seen_bits)
-    log(f"seen bitmask packed on device: {seen_bits.nbytes / 2**30:.2f} GiB")
+    log(f"seen bitmask packed on device (pop layout): "
+        f"{seen_bits.nbytes / 2**30:.2f} GiB")
 
     ops, staging = {}, {}
     for kind in ("split", "tiled"):
@@ -257,9 +278,13 @@ def main():
         # over qr(A z): A v = qb rb wt^T = u * s) — reusing it saves a
         # full width-RANK pass over the event stream (~0.4 s)
         proj = result.u * result.s[None, :]           # (users, rank)
-        recs_dev = to_i16(fused_score_topk(proj, result.v, seen_bits, TOPK,
-                                           filter_seen=True,
-                                           n_valid_cols=N_ITEMS))
+        recs_pos = fused_score_topk(proj, jnp.take(result.v, perm_dev,
+                                                   axis=0),
+                                    seen_bits, TOPK, filter_seen=True,
+                                    n_valid_cols=N_ITEMS, tile_skip=True)
+        # map layout positions back to item ids (catalog fully valid:
+        # every user has >= TOPK unseen items, so no PAD slots)
+        recs_dev = to_i16(jnp.take(perm_dev, recs_pos))
         return result, proj, recs_dev
 
     warm = {}
@@ -371,13 +396,16 @@ def main():
         hold_items = cols_h[pick]
         hold_users = rows_h[pick]
         vals_train = vals_d.at[jnp.asarray(pick.astype(np.int32))].set(0.0)
+        # seen_bits lives in the popularity layout -> held-out item ids
+        # map through inv before clearing
         bits_study = clear_seen_bits_device(
             seen_bits, jnp.asarray(hold_users.astype(np.int32)),
-            jnp.asarray(hold_items.astype(np.int32)))
+            jnp.take(inv_dev, jnp.asarray(hold_items.astype(np.int32))))
         v_exact = _exact_reference_v(rows_h, cols_h, vals_h, hold_mask)
         del ops, warm, vals_d, seen_bits
         exact = exact_factor_study(rows_d, cols_d, vals_train, bits_study,
-                                   v_exact, hold_items, kinds)
+                                   v_exact, hold_items, kinds,
+                                   perm=perm_dev, inv=inv_dev)
 
     payload = {
         "metric": "netflix_puresvd50_build_plus_score_top10",
@@ -387,6 +415,7 @@ def main():
         "timing": "device_complete_sync (rec panel resident in HBM; "
                   "full pull reported separately)",
         "operator": "split_head_int8",
+        "item_layout": "popularity+tile_skip",
         "head_budget_gb": HEAD_GB,
         "nnz": nnz,
         "users_per_sec": round(N_USERS / best["split"]),
