@@ -101,6 +101,8 @@ def main():
     best_mlrank, scores = find_optimal_tucker_ranks(
         model, grid, "hr", return_scores=True, metric_type="relevance",
         topk=10)
+    # pd.Series.idxmax returns np.int64 tuples — not JSON serializable
+    best_mlrank = tuple(int(r) for r in best_mlrank)
     t_tune = time.perf_counter() - t0
     log(f"mlrank sweep ({len(scores)} feasible cells, {t_tune:.0f}s):\n"
         f"{scores.to_string()}")
