@@ -61,43 +61,39 @@ def load_or_make_workload(seed=0, device=False):
     return load_or_make_ml10m(CACHE, seed=seed, log=log, device=device)
 
 
-def _probe_device(timeout_s: float = 240.0) -> None:
+def _probe_device(timeout_s: float = 300.0) -> None:
     """The axon tunnel can wedge outright (r5: 2+ hours where even
     `import jax` from a fresh process hangs inside the backend
     registration).  A blocked first RPC would hang the whole benchmark
-    with no output, so bound BOTH the jax import and a tiny matmul in a
-    worker thread and emit a diagnosable error payload instead.  Must
-    run before the main thread's own `import jax` (a wedged worker
-    import holds the import lock, but we exit rather than proceed).
-    The stuck worker cannot be cancelled (the RPC never returns),
-    hence the hard exit.  Limitation: in the deepest wedge mode the
-    interpreter hangs at STARTUP (the axon sitecustomize registration
-    imports jax before any script code runs) — nothing inside this
-    file can run then.  ``POLARA_SKIP_PROBE=1`` disables the probe."""
-    import threading
+    with no output, so bound a tiny matmul in a SUBPROCESS (killable —
+    a stuck in-process RPC thread cannot be cancelled, and the first
+    device op deadlocks when issued from a non-main thread under the
+    axon backend) and emit a diagnosable error payload instead.
+    ``POLARA_SKIP_PROBE=1`` disables the probe."""
+    import subprocess
 
     if os.environ.get("POLARA_SKIP_PROBE"):
         return
-    ok = threading.Event()
-
-    def work():
-        import jax.numpy as jnp
-        np.asarray((jnp.ones((8, 128)) @ jnp.ones((128, 8))).ravel()[:1])
-        ok.set()
-
-    t = threading.Thread(target=work, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok.is_set():
-        log(f"device probe did not complete within {timeout_s:.0f}s — "
-            "tunnel wedged")
-        print(json.dumps({
-            "metric": "ml10m_puresvd50_build_plus_score_top10",
-            "value": None, "unit": "s", "vs_baseline": None,
-            "error": f"device unresponsive after {timeout_s:.0f}s probe "
-                     "(tunnel wedge — see CLAUDE.md)"}))
-        sys.stdout.flush()
-        os._exit(3)
+    code = ("import numpy as np, jax.numpy as jnp; "
+            "np.asarray((jnp.ones((8,128)) @ jnp.ones((128,8)))"
+            ".ravel()[:1]); print('PROBE_OK')")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        if "PROBE_OK" in (out.stdout or ""):
+            return
+        reason = (f"probe subprocess exited {out.returncode}: "
+                  f"{(out.stderr or '')[-200:]}")
+    except subprocess.TimeoutExpired:
+        reason = f"device unresponsive after {timeout_s:.0f}s probe"
+    log(f"device probe failed — {reason}")
+    print(json.dumps({
+        "metric": "ml10m_puresvd50_build_plus_score_top10",
+        "value": None, "unit": "s", "vs_baseline": None,
+        "error": reason + " (tunnel wedge — see CLAUDE.md)"}))
+    sys.stdout.flush()
+    os._exit(3)
 
 
 def main():
