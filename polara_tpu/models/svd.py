@@ -182,7 +182,7 @@ class SVDModel(RecommenderModel):
                     # with the Zipf head of the stream lifted into a
                     # dense MXU block when item margins are skewed
                     # enough to pay (measured r5 on chip at Netflix
-                    # scale: build+score 1.53s split vs 3.29s tiled,
+                    # scale: build+score 1.58s split vs 3.24s tiled,
                     # recorded in benchmarks/results_r05.json and
                     # docs/PERFORMANCE.md)
                     if defaults.get_default("streaming_split_head"):
